@@ -1,0 +1,5 @@
+from beso_tpu.models.gpt import DiffusionGPT, VisionDiffusionGPT
+from beso_tpu.models.denoiser import GCDenoiser, denoise, denoiser_loss
+from beso_tpu.models.cfg import cfg_denoise_fn
+from beso_tpu.models.ema import EmaState, ema_init, ema_update
+from beso_tpu.models.scaler import Scaler, fit_scaler, fit_minmax_scaler

@@ -1,0 +1,220 @@
+"""Noise-conditioned causal transformer ("DiffusionGPT") in flax.linen.
+
+Functional parity target: the reference's miniGPT-derived score network
+(`beso/agents/diffusion_agents/k_diffusion/score_gpts.py:15-374`):
+
+token layout   [sigma_emb, g_1..g_G, s_1, a_1, ..., s_T, a_T]
+block_size     G + 2T + 1          (score_gpts.py:148)
+seq_size       G + T + 1           (score_gpts.py:150)
+sigma token    Linear(log(sigma)/4)         (score_gpts.py:284-286)
+tok_emb        shared Linear for states AND goals (score_gpts.py:305-306)
+pos_emb        learned, shared between s_t and a_t (score_gpts.py:322-324)
+CFG masking    Bernoulli(cond_mask_prob) elementwise goal zeroing in training
+               (score_gpts.py:360-371); full zeroing when uncond=True
+head           linear, or Linear(D,100)+SiLU+Linear(100,A) (score_gpts.py:183-190)
+output         action-slot tokens of the second half (score_gpts.py:343-354)
+
+TPU-first deviations from the torch code (behavior preserved):
+* pure function of (params, rngs, inputs) — no module-global `training` flag,
+* attention runs as one fused QKV projection + `jax.nn.dot_product_attention`
+  (same math as the explicit q/k/v Linears + softmax of score_gpts.py:50-80),
+* optional bfloat16 compute dtype with float32 params/softmax accumulation,
+* the B,T,2,D de-interleave of outputs is a static reshape (no data-dependent
+  branch; the reference's `x.size()[1] < 2*obs_seq_len` branch only triggers
+  for truncated contexts, which we handle by padding windows to full size).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class CausalSelfAttention(nn.Module):
+    """Multi-head causal self-attention (score_gpts.py:15-80)."""
+
+    n_embd: int
+    n_heads: int
+    attn_pdrop: float
+    resid_pdrop: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, T, C = x.shape
+        qkv = nn.Dense(3 * self.n_embd, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = self.n_embd // self.n_heads
+        q = q.reshape(B, T, self.n_heads, hd)
+        k = k.reshape(B, T, self.n_heads, hd)
+        v = v.reshape(B, T, self.n_heads, hd)
+        # causal mask == lower-triangular attention (score_gpts.py:42-47,70)
+        y = jax.nn.dot_product_attention(q, k, v, is_causal=True)
+        if self.attn_pdrop > 0 and not deterministic:
+            # The reference drops attention *weights*; dropping the attended
+            # values has the same expectation and keeps the fused kernel.
+            y = nn.Dropout(self.attn_pdrop)(y, deterministic=deterministic)
+        y = y.reshape(B, T, C)
+        y = nn.Dense(self.n_embd, dtype=self.dtype, name="proj")(y)
+        y = nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
+        return y
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block with 4x GELU MLP (score_gpts.py:83-115)."""
+
+    n_embd: int
+    n_heads: int
+    attn_pdrop: float
+    resid_pdrop: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        x = x + CausalSelfAttention(
+            self.n_embd, self.n_heads, self.attn_pdrop, self.resid_pdrop,
+            dtype=self.dtype, name="attn",
+        )(h, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        h = nn.Dense(4 * self.n_embd, dtype=self.dtype, name="fc")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.n_embd, dtype=self.dtype, name="fc_proj")(h)
+        h = nn.Dropout(self.resid_pdrop)(h, deterministic=deterministic)
+        return x + h
+
+
+def _init_dense():
+    """miniGPT init: normal(0, 0.02) weights, zero bias (score_gpts.py:202-209)."""
+    return dict(
+        kernel_init=nn.initializers.normal(stddev=0.02),
+        bias_init=nn.initializers.zeros,
+    )
+
+
+class DiffusionGPT(nn.Module):
+    """Goal-conditioned noise-aware causal GPT over state/action tokens."""
+
+    state_dim: int
+    action_dim: int
+    embed_dim: int
+    n_layers: int
+    n_heads: int
+    goal_seq_len: int
+    obs_seq_len: int
+    goal_conditioned: bool = True
+    embed_pdrob: float = 0.0
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    cond_mask_prob: float = 0.0
+    linear_output: bool = True
+    goal_dim: Optional[int] = None  # defaults to state_dim (shared tok_emb)
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def eff_goal_len(self) -> int:
+        return self.goal_seq_len if self.goal_conditioned else 0
+
+    @property
+    def block_size(self) -> int:
+        return self.eff_goal_len + 2 * self.obs_seq_len + 1
+
+    @property
+    def seq_size(self) -> int:
+        return self.eff_goal_len + self.obs_seq_len + 1
+
+    @nn.compact
+    def __call__(
+        self,
+        states: jnp.ndarray,    # [B, T, state_dim]
+        actions: jnp.ndarray,   # [B, T, action_dim]
+        goals: jnp.ndarray,     # [B, G, goal_dim]
+        sigma: jnp.ndarray,     # [B]
+        *,
+        uncond: bool = False,
+        train: bool = False,
+    ) -> jnp.ndarray:           # [B, T, action_dim]
+        B, T, _ = states.shape
+        G = self.eff_goal_len
+        deterministic = not train
+
+        # sigma token: Linear(log(sigma)/4) (score_gpts.py:284-286)
+        sig = (jnp.log(sigma.astype(jnp.float32)) / 4.0).reshape(B, 1, 1)
+        emb_t = nn.Dense(self.embed_dim, dtype=self.dtype, name="sigma_emb",
+                         **_init_dense())(sig)
+
+        # CFG goal dropout: elementwise Bernoulli(p) zero mask while training
+        # (score_gpts.py:360-371); full zeroing when sampling unconditionally.
+        if self.goal_conditioned:
+            if uncond:
+                goals = jnp.zeros_like(goals)
+            elif train and self.cond_mask_prob > 0.0:
+                rng = self.make_rng("cond_mask")
+                mask = jax.random.bernoulli(rng, self.cond_mask_prob, goals.shape)
+                goals = goals * (1.0 - mask.astype(goals.dtype))
+
+        tok_emb = nn.Dense(self.embed_dim, dtype=self.dtype, name="tok_emb",
+                           **_init_dense())
+        state_embed = tok_emb(states)
+        if self.goal_dim is not None and self.goal_dim != self.state_dim:
+            goal_embed = nn.Dense(self.embed_dim, dtype=self.dtype,
+                                  name="goal_emb", **_init_dense())(goals)
+        else:
+            goal_embed = tok_emb(goals)  # shared embed (score_gpts.py:305-306)
+        action_embed = nn.Dense(self.embed_dim, dtype=self.dtype,
+                                name="action_emb", **_init_dense())(actions)
+
+        pos_emb = self.param(
+            "pos_emb", nn.initializers.normal(stddev=0.02),
+            (1, self.seq_size, self.embed_dim), jnp.float32,
+        )
+        drop = nn.Dropout(self.embed_pdrob)
+        state_x = drop(state_embed + pos_emb[:, G:G + T, :], deterministic=deterministic)
+        action_x = drop(action_embed + pos_emb[:, G:G + T, :], deterministic=deterministic)
+
+        # interleave [s_1, a_1, ..., s_T, a_T] (score_gpts.py:330-331)
+        sa_seq = jnp.stack([state_x, action_x], axis=2).reshape(B, 2 * T, self.embed_dim)
+
+        if self.goal_conditioned:
+            goal_x = drop(goal_embed + pos_emb[:, :G, :], deterministic=deterministic)
+            input_seq = jnp.concatenate([emb_t.astype(sa_seq.dtype), goal_x, sa_seq], axis=1)
+        else:
+            input_seq = jnp.concatenate([emb_t.astype(sa_seq.dtype), sa_seq], axis=1)
+
+        x = input_seq
+        for i in range(self.n_layers):
+            x = Block(self.embed_dim, self.n_heads, self.attn_pdrop,
+                      self.resid_pdrop, dtype=self.dtype, name=f"block_{i}")(
+                x, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+
+        # second half: drop [sigma, goals] prefix, keep s/a tokens
+        # (score_gpts.py:290-293,343-353)
+        x = x[:, G + 1:, :]
+        x = x.reshape(B, T, 2, self.embed_dim)
+        action_outputs = x[:, :, 1, :]  # tokens at action slots
+
+        if self.linear_output:
+            pred = nn.Dense(self.action_dim, dtype=jnp.float32,
+                            name="action_pred", **_init_dense())(action_outputs)
+        else:
+            h = nn.Dense(100, dtype=self.dtype, name="action_pred_fc",
+                         **_init_dense())(action_outputs)
+            h = nn.silu(h)
+            pred = nn.Dense(self.action_dim, dtype=jnp.float32,
+                            name="action_pred_out", **_init_dense())(h)
+        return pred.astype(jnp.float32)
+
+
+class VisionDiffusionGPT(DiffusionGPT):
+    """Variant with a separate goal embedding for image-embedding states
+    (score_gpts.py:377-642). Identical math except goals (dim state_dim-14)
+    get their own Linear; construct with goal_dim=state_dim-14."""
+
+    def __post_init__(self):
+        if self.goal_dim is None:
+            object.__setattr__(self, "goal_dim", self.state_dim - 14)
+        super().__post_init__()
