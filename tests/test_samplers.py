@@ -1,0 +1,194 @@
+"""Sampler correctness tests against analytically solvable denoisers.
+
+Two ground truths are used:
+
+1. Constant denoiser D(x, sigma) = c: the probability-flow ODE
+   dx/dsigma = (x - c)/sigma has solution x(s) = c + k*s, so EVERY consistent
+   ODE sampler must land exactly on c at sigma = 0 (the step rules are exact
+   for this field). This pins each sampler's update formula.
+
+2. Gaussian data N(mu, sd^2): the optimal denoiser is
+   D(x, sigma) = (sd^2 x + sigma^2 mu) / (sd^2 + sigma^2), the ODE solution is
+   x(s) = mu + (x0 - mu) sqrt(s^2+sd^2)/sqrt(s0^2+sd^2), and every SDE/
+   ancestral sampler must map the marginal at sigma_max to the marginal at
+   sigma=0 (i.e. produce samples ~ N(mu, sd^2)).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beso_tpu.core.schedules import get_sigmas_exponential, get_sigmas_karras
+from beso_tpu.sampling import (
+    SAMPLERS,
+    lms_coefficient_matrix,
+    log_likelihood,
+    sample_ddim,
+    sample_dpm_2,
+    sample_dpm_adaptive,
+    sample_dpm_fast,
+    sample_dpmpp_2m,
+    sample_dpmpp_2s,
+    sample_euler,
+    sample_euler_visualization,
+    sample_heun,
+    sample_lms,
+    sample_loop,
+)
+
+MU, SD = 0.7, 0.5
+SIGMA_MAX = 10.0
+
+
+def const_denoiser(c):
+    def fn(x, sigma):
+        return jnp.full_like(x, c)
+    return fn
+
+
+def gauss_denoiser(mu=MU, sd=SD):
+    def fn(x, sigma):
+        s2 = (sigma ** 2)[:, None, None]
+        return (sd ** 2 * x + s2 * mu) / (sd ** 2 + s2)
+    return fn
+
+
+DETERMINISTIC = {
+    "euler": sample_euler,
+    "heun": sample_heun,
+    "dpm": sample_dpm_2,
+    "ddim": sample_ddim,
+    "dpmpp_2s": sample_dpmpp_2s,
+    "dpmpp_2m": sample_dpmpp_2m,
+    "lms": sample_lms,
+}
+
+
+class TestConstantDenoiserExactness:
+    @pytest.mark.parametrize("name", sorted(DETERMINISTIC))
+    def test_lands_on_constant(self, name):
+        sigmas = get_sigmas_exponential(5, 0.01, 1.0)
+        x = jnp.full((4, 1, 2), 3.0)
+        out = DETERMINISTIC[name](const_denoiser(-1.5), x, sigmas,
+                                  jax.random.PRNGKey(0))
+        np.testing.assert_allclose(out, -1.5, rtol=1e-4, atol=1e-4)
+
+
+class TestGaussianODE:
+    def analytic(self, x0, s0, s1=0.0):
+        return MU + (x0 - MU) * math.sqrt(s1 ** 2 + SD ** 2) / math.sqrt(s0 ** 2 + SD ** 2)
+
+    @pytest.mark.parametrize("name", ["euler", "heun", "ddim", "dpm",
+                                      "dpmpp_2s", "dpmpp_2m", "lms"])
+    def test_converges_to_analytic_flow(self, name):
+        sigmas = get_sigmas_karras(60, 1e-4, SIGMA_MAX, rho=7.0)
+        x0 = jnp.asarray([[[2.0]], [[-3.0]], [[0.5]]])
+        out = DETERMINISTIC[name](gauss_denoiser(), x0, sigmas,
+                                  jax.random.PRNGKey(0))
+        want = self.analytic(np.asarray(x0), SIGMA_MAX)
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-2)
+
+    def test_dpm_fast_matches_flow(self):
+        x0 = jnp.asarray([[[2.0]], [[-1.0]]])
+        out = sample_dpm_fast(gauss_denoiser(), x0, 1e-3, SIGMA_MAX, 30)
+        want = self.analytic(np.asarray(x0), SIGMA_MAX, 1e-3)
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-2)
+
+    def test_dpm_adaptive_matches_flow(self):
+        x0 = jnp.asarray([[[2.0]], [[-1.0]]])
+        out, info = sample_dpm_adaptive(gauss_denoiser(), x0, 1e-3, SIGMA_MAX,
+                                        return_info=True)
+        want = self.analytic(np.asarray(x0), SIGMA_MAX, 1e-3)
+        np.testing.assert_allclose(np.asarray(out), want, atol=5e-2)
+        assert int(info["n_accept"]) > 0
+
+
+class TestStochasticMarginals:
+    """SDE/ancestral samplers must map N(mu, smax^2+sd^2) -> ~N(mu, sd^2)."""
+
+    @pytest.mark.parametrize("name", ["euler_ancestral", "ancestral",
+                                      "dpmpp_2s_ancestral", "dpmpp_2m_sde",
+                                      "dpmpp_sde"])
+    def test_marginal_preserved(self, name):
+        n_samp = 8192
+        key = jax.random.PRNGKey(42)
+        k1, k2 = jax.random.split(key)
+        x0 = MU + jax.random.normal(k1, (n_samp, 1, 1)) * math.sqrt(
+            SIGMA_MAX ** 2 + SD ** 2)
+        sigmas = get_sigmas_karras(40, 1e-3, SIGMA_MAX, rho=7.0)
+        out = np.asarray(
+            sample_loop(name, gauss_denoiser(), x0, sigmas, k2)).ravel()
+        assert abs(out.mean() - MU) < 0.06, (name, out.mean())
+        assert abs(out.std() - SD) < 0.06, (name, out.std())
+
+    def test_euler_churn_preserves_marginal(self):
+        n_samp = 8192
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        x0 = MU + jax.random.normal(k1, (n_samp, 1, 1)) * math.sqrt(
+            SIGMA_MAX ** 2 + SD ** 2)
+        sigmas = get_sigmas_karras(40, 1e-3, SIGMA_MAX, rho=7.0)
+        out = np.asarray(sample_euler(gauss_denoiser(), x0, sigmas, k2,
+                                      s_churn=2.0)).ravel()
+        assert abs(out.mean() - MU) < 0.06
+        assert abs(out.std() - SD) < 0.08
+
+
+class TestLMSCoefficients:
+    def test_against_scipy_quad(self):
+        from scipy import integrate
+        sigmas = np.asarray(get_sigmas_exponential(6, 0.01, 1.0), dtype=np.float64)
+        coeffs = lms_coefficient_matrix(sigmas, order=4)
+        for i in [0, 2, 5]:
+            cur_order = min(i + 1, 4)
+            for j in range(cur_order):
+                def fn(tau):
+                    prod = 1.0
+                    for k in range(cur_order):
+                        if j == k:
+                            continue
+                        prod *= (tau - sigmas[i - k]) / (sigmas[i - j] - sigmas[i - k])
+                    return prod
+                want = integrate.quad(fn, sigmas[i], sigmas[i + 1], epsrel=1e-10)[0]
+                np.testing.assert_allclose(coeffs[i, j], want, rtol=1e-8)
+
+    def test_rows_sum_to_dsigma(self):
+        # Lagrange bases sum to 1 => coefficients sum to sigma_{i+1} - sigma_i
+        sigmas = np.asarray(get_sigmas_karras(8, 0.01, 1.0), dtype=np.float64)
+        coeffs = lms_coefficient_matrix(sigmas, order=4)
+        np.testing.assert_allclose(coeffs.sum(1), np.diff(sigmas)[:8], rtol=1e-8)
+
+
+class TestDispatchAndMisc:
+    def test_all_sampler_names_run(self):
+        sigmas = get_sigmas_exponential(3, 0.05, 1.0)
+        x = jnp.ones((2, 1, 2))
+        for name in SAMPLERS:
+            out = sample_loop(name, gauss_denoiser(), x, sigmas,
+                              jax.random.PRNGKey(0))
+            assert out.shape == x.shape, name
+            assert np.isfinite(np.asarray(out)).all(), name
+        with pytest.raises(ValueError):
+            sample_loop("nope", gauss_denoiser(), x, sigmas)
+
+    def test_visualization_returns_trajectory(self):
+        sigmas = get_sigmas_exponential(4, 0.05, 1.0)
+        x = jnp.ones((2, 1, 2))
+        x0, xs = sample_euler_visualization(const_denoiser(0.0), x, sigmas)
+        assert xs.shape == (4, 2, 1, 2)
+        np.testing.assert_allclose(xs[-1], x0)
+
+    def test_log_likelihood_gaussian(self):
+        # data N(0, 1): ll(x) should match the analytic normal logpdf
+        sd = 1.0
+
+        def den(x, sigma):
+            s2 = (sigma ** 2)[:, None, None]
+            return (sd ** 2 * x) / (sd ** 2 + s2)
+
+        action = jnp.asarray([[[0.0]], [[1.0]], [[-2.0]]])
+        ll, info = log_likelihood(den, action, 1e-3, 50.0, n_steps=128)
+        want = -0.5 * np.asarray(action).ravel() ** 2 - 0.5 * math.log(2 * math.pi)
+        np.testing.assert_allclose(np.asarray(ll), want, atol=5e-2)
