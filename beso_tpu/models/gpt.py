@@ -74,12 +74,12 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
         x = x + CausalSelfAttention(
             self.n_embd, self.n_heads, self.attn_pdrop, self.resid_pdrop,
             dtype=self.dtype, name="attn",
         )(h, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(4 * self.n_embd, dtype=self.dtype, name="fc")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.n_embd, dtype=self.dtype, name="fc_proj")(h)
@@ -189,7 +189,7 @@ class DiffusionGPT(nn.Module):
             x = Block(self.embed_dim, self.n_heads, self.attn_pdrop,
                       self.resid_pdrop, dtype=self.dtype, name=f"block_{i}")(
                 x, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x)
 
         # second half: drop [sigma, goals] prefix, keep s/a tokens
         # (score_gpts.py:290-293,343-353)

@@ -1,16 +1,18 @@
 """Test harness configuration.
 
 Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-exercised without TPU hardware. Must set env vars BEFORE jax import.
+exercised without TPU hardware. NOTE: in this environment the `axon` TPU
+plugin overrides the JAX_PLATFORMS env var, so the platform must be forced
+via jax.config BEFORE first backend use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
