@@ -1,0 +1,12 @@
+from beso_tpu.envs.block_push.env import (
+    BlockPushState,
+    block_push_obs,
+    block_push_reset,
+    block_push_step,
+)
+from beso_tpu.envs.kitchen.env import (
+    KitchenState,
+    kitchen_obs,
+    kitchen_reset,
+    kitchen_step,
+)
