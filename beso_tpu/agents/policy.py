@@ -60,6 +60,11 @@ class PolicyConfig:
     cond_lambda: float = 1.0  # >1/<1 wraps the model in CFG
     s_churn: float = 0.0
     s_tmin: float = 0.0
+    # multi-sample action selection (reference: get_mean/use_kde,
+    # beso_agent.py:352-368 — the torch aggregation path is incomplete;
+    # this is the working equivalent)
+    n_action_samples: int = 1
+    aggregation: str = "single"  # 'single' | 'mean' | 'kde'
 
 
 def policy_reset(batch_size: int, cfg: PolicyConfig) -> PolicyState:
@@ -81,6 +86,19 @@ def _append_window(buf: jnp.ndarray, item: jnp.ndarray, count: jnp.ndarray,
     base = jnp.where(full[:, None, None], shifted, buf)
     slot = jnp.minimum(count, width - 1)       # [B]
     return base.at[jnp.arange(B), slot].set(item)
+
+
+def _kde_select(cands: jnp.ndarray) -> jnp.ndarray:
+    """Pick the max-density sample per env via a gaussian KDE over the
+    candidate set (Scott's-rule bandwidth). cands: [B, n, d] -> [B, d]."""
+    B, n, d = cands.shape
+    std = jnp.std(cands, axis=1, keepdims=True).mean(axis=-1, keepdims=True)
+    h = jnp.maximum(std * n ** (-1.0 / (d + 4)), 1e-6)       # [B, 1, 1]
+    diff = cands[:, :, None, :] - cands[:, None, :, :]        # [B, n, n, d]
+    sq = jnp.sum(diff ** 2, axis=-1)                          # [B, n, n]
+    dens = jnp.sum(jnp.exp(-0.5 * sq / (h[..., 0] ** 2)), axis=-1)
+    best = jnp.argmax(dens, axis=-1)                          # [B]
+    return jnp.take_along_axis(cands, best[:, None, None], axis=1)[:, 0]
 
 
 def policy_predict(
@@ -114,24 +132,42 @@ def policy_predict(
     t_eff = jnp.minimum(count, W)              # current context length [B]
 
     # fresh noise for ONLY the newest action token (beso_agent.py:352-362)
-    noise = jax.random.normal(key, (B, cfg.action_dim)) * cfg.sigma_max
-    x = state.act_buf
+    n_samp = max(1, cfg.n_action_samples)
     newest = jnp.minimum(count - 1, W - 1)
-    x = x.at[jnp.arange(B), newest].set(noise)
+    x = state.act_buf
+    if n_samp > 1:
+        # draw n_samp candidate actions per env in one batched denoise
+        x = jnp.repeat(x, n_samp, axis=0)
+        obs_in = jnp.repeat(obs_buf, n_samp, axis=0)
+        goal_in = jnp.repeat(goal_s, n_samp, axis=0)
+        newest_in = jnp.repeat(newest, n_samp, axis=0)
+    else:
+        obs_in, goal_in, newest_in = obs_buf, goal_s, newest
+    Bn = B * n_samp
+    noise = jax.random.normal(key, (Bn, cfg.action_dim)) * cfg.sigma_max
+    x = x.at[jnp.arange(Bn), newest_in].set(noise)
 
     sigmas = get_noise_schedule(cfg.num_sampling_steps, cfg.sigma_min,
                                 cfg.sigma_max, cfg.rho, cfg.noise_scheduler)
     dn = cfg_denoise_fn(denoise, cfg.cond_lambda)
 
     def dn_xa(actions, sigma):
-        return dn(obs_buf, actions, goal_s, sigma)
+        return dn(obs_in, actions, goal_in, sigma)
 
     x0 = sample_loop(cfg.sampler_type, dn_xa, x, sigmas, key,
                      s_churn=extra_args.get("s_churn", cfg.s_churn),
                      s_tmin=extra_args.get("s_min", cfg.s_tmin))
 
     # keep only the newest action slot (beso_agent.py:373-374)
-    a_scaled = x0[jnp.arange(B), newest]
+    a_scaled = x0[jnp.arange(Bn), newest_in]
+    if n_samp > 1:
+        cands = a_scaled.reshape(B, n_samp, cfg.action_dim)
+        if cfg.aggregation == "mean":
+            a_scaled = jnp.mean(cands, axis=1)
+        elif cfg.aggregation == "kde":
+            a_scaled = _kde_select(cands)
+        else:  # 'single'
+            a_scaled = cands[:, 0]
     a_scaled = scaler.clip_action(a_scaled)
     action = scaler.inverse_scale_output(a_scaled)
 

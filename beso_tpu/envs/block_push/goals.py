@@ -48,7 +48,7 @@ def block_push_goal_frames(data: TrajectoryData, eval_n_times: int, seed: int,
     frames = np.zeros((eval_n_times, data.obs_dim), np.float32)
     expected = np.zeros((eval_n_times, 4), bool)
     for i in range(eval_n_times):
-        traj = train_idx[_wrap_goal_idx(i)]
+        traj = train_idx[_wrap_goal_idx(i) % len(train_idx)]
         T = int(data.lengths[traj])
         frames[i] = data.observations[traj, T - 1]
         expected[i] = data.onehot_goals[traj, :T].max(0) > 0.5
@@ -117,7 +117,7 @@ def demo_task_order(data: TrajectoryData, eval_n_times: int, seed: int,
     train_idx, _ = get_split_idx(data.num_trajectories, seed, train_fraction)
     out = np.full((eval_n_times, 4), -1, np.int32)
     for i in range(eval_n_times):
-        traj = train_idx[_wrap_goal_idx(i)]
+        traj = train_idx[_wrap_goal_idx(i) % len(train_idx)]
         T = int(data.lengths[traj])
         onehot = data.onehot_goals[traj, :T]
         mask = onehot.max(0) > 0.5

@@ -50,7 +50,7 @@ def multigoal_kitchen_goals(data: TrajectoryData, goal_seq_len: int,
     expected = np.zeros((eval_n_times, 7), bool)
     for i in range(eval_n_times):
         gi = _wrap_goal_idx(i)
-        traj = train_idx[gi]
+        traj = train_idx[gi % len(train_idx)]
         T = int(data.lengths[traj])
         goals[i] = data.observations[traj, T - goal_seq_len:T]
         expected[i] = data.onehot_goals[traj, :T].max(0) > 0.5
@@ -75,7 +75,7 @@ def sequential_kitchen_goals(data: TrajectoryData, goal_seq_len: int,
     expected = np.zeros((N, 7), bool)
     for i in range(N):
         gi = _wrap_goal_idx(i)
-        traj = train_idx[gi]
+        traj = train_idx[gi % len(train_idx)]
         T = int(data.lengths[traj])
         onehot = data.onehot_goals[traj, :T]
         expected_mask = onehot.max(0) > 0.5
@@ -113,7 +113,7 @@ def onehot_kitchen_goals(data: TrajectoryData, eval_n_times: int, seed: int,
     table = np.zeros((eval_n_times, Tmax, 7), np.float32)
     expected = np.zeros((eval_n_times, 7), bool)
     for i in range(eval_n_times):
-        traj = train_idx[_wrap_goal_idx(i)]
+        traj = train_idx[_wrap_goal_idx(i) % len(train_idx)]
         T = int(data.lengths[traj])
         table[i, :T] = data.onehot_goals[traj, :T]
         table[i, T:] = data.onehot_goals[traj, T - 1]
