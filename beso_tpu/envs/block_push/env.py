@@ -142,9 +142,10 @@ def _rot(yaw):
 
 
 def _push_block(block_pos, block_yaw, point, radius):
-    """Resolve point-vs-oriented-box penetration quasi-statically: the block
-    translates out of contact along the contact normal and yaws by the lever
-    arm. Returns (new_pos, new_yaw)."""
+    """Resolve point-vs-oriented-box penetration quasi-statically. On a table
+    the block's motion is friction-dominated, so the block slides along the
+    effector->center line (central push) by the penetration depth, plus a
+    lever-arm yaw response for off-center contacts. Returns (new_pos, new_yaw)."""
     R = _rot(block_yaw)
     local = R.T @ (point - block_pos)
     # closest point on the box to the effector center
@@ -152,16 +153,14 @@ def _push_block(block_pos, block_yaw, point, radius):
     delta = local - clamped
     dist = jnp.linalg.norm(delta)
     inside = dist < 1e-9
-    # if the point is inside the box, push along the smallest face distance
     face = jnp.where(local >= 0, BLOCK_HALF - local, -BLOCK_HALF - local)
-    face_dir = jnp.where(jnp.abs(face[0]) < jnp.abs(face[1]),
-                         jnp.asarray([1.0, 0.0]) * jnp.sign(-face[0]),
-                         jnp.asarray([0.0, 1.0]) * jnp.sign(-face[1]))
-    normal_out = jnp.where(inside, face_dir, delta / jnp.maximum(dist, 1e-9))
     pen = jnp.where(inside, radius + jnp.min(jnp.abs(face)), radius - dist)
     pen = jnp.maximum(pen, 0.0)
-    # block moves opposite the outward normal (away from the pusher)
-    move_local = -normal_out * pen
+    # central push: block center moves away from the pusher along
+    # (center - contact point) in the world frame
+    to_center = -local
+    push_dir_local = to_center / jnp.maximum(jnp.linalg.norm(to_center), 1e-9)
+    move_local = push_dir_local * pen
     new_pos = block_pos + R @ move_local
     # lever arm: tangential offset of the contact point induces yaw
     lever = jnp.cross(jnp.append(clamped, 0.0), jnp.append(move_local, 0.0))[2]
