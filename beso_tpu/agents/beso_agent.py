@@ -191,6 +191,37 @@ class BesoAgent:
         return policy_predict(self.make_denoise_fn(), self.scaler, pstate,
                               obs, goal, key, cfg, extra_args)
 
+    def visualize_ode(self, state, goal, key, get_mean: int = 1000,
+                      new_sampling_steps: Optional[int] = None,
+                      noise_scheduler: Optional[str] = None):
+        """Debug utility (beso_agent.py:478-538): repeat a single (state,
+        goal) `get_mean` times and record the action after EVERY denoise step
+        of a step-wise DDIM trajectory. Returns [n_steps+1, get_mean, act]."""
+        from beso_tpu.core.schedules import get_noise_schedule
+        from beso_tpu.sampling.samplers import sample_ddim
+
+        cfg = self.cfg
+        n = new_sampling_steps or cfg.num_sampling_steps
+        sched = noise_scheduler or cfg.noise_scheduler
+        sigmas = get_noise_schedule(n, cfg.sigma_min, cfg.sigma_max, cfg.rho,
+                                    sched)
+        state_s = self.scaler.scale_input(state)
+        goal_s = self.scaler.scale_input(goal)
+        state_rpt = jnp.repeat(state_s, get_mean, axis=0)
+        goal_rpt = jnp.repeat(goal_s, get_mean, axis=0)
+        x = jax.random.normal(key, (get_mean, state.shape[-2] if state.ndim > 2
+                                    else 1, cfg.action_dim)) * cfg.sigma_max
+        denoise = self.make_denoise_fn()
+
+        def dn(actions, sigma):
+            return denoise(state_rpt, actions, goal_rpt, sigma)
+
+        samples = [x]
+        for i in range(n):
+            x = sample_ddim(dn, x, sigmas[i:i + 2], key)
+            samples.append(x)
+        return jnp.stack(samples)
+
     # -- weight I/O ----------------------------------------------------------
     def store_model_weights(self, store_path: str):
         """Store full train state (EMA included) — supersedes the reference's

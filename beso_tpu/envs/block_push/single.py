@@ -1,0 +1,146 @@
+"""Single-block BlockPush env (PUSH / REACH variants + normalized wrapper).
+
+Functional parity target: `BlockPush` (`beso/envs/block_pushing/
+block_pushing.py:165-787,790-1003`):
+* one block + one target zone; reset: block at x=0.4+U(+-0.1),
+  y=-0.2+U(+-0.15), target at x=0.4+U(+-0.1), y=0.2+U(+-0.15),
+  yaw ~ pi+U(+-pi/6) (block_pushing.py:400-436),
+* obs = [block_xy, block_yaw, effector_xy, effector_target_xy, target_xy,
+  target_yaw] (10 dims, block_pushing.py:497-511),
+* reward = best fraction of goal-distance reduced so far; success (reward 1,
+  done) when goal distance < goal_dist_tolerance (0.01)
+  (block_pushing.py:569-589),
+* REACH variant: the goal is a point 5 cm before the block on the
+  block->target line (block_pushing.py:481-489),
+* `BlockPushNormalized` (block_pushing.py:790-1003): obs/action mapped to
+  [-1, 1] with the reference's published min/max stats.
+
+Shares the quasi-static physics of the multimodal env (env.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from beso_tpu.envs.block_push.env import (EFFECTOR_START, WORKSPACE_BOUNDS,
+                                          WORKSPACE_CENTER_X, _push_block,
+                                          CONTROL_DT, EFFECTOR_SPEED,
+                                          N_SUBSTEPS, EFFECTOR_RADIUS,
+                                          RANDOM_X_SHIFT, RANDOM_Y_SHIFT)
+
+GOAL_DIST_TOLERANCE = 0.01  # block_pushing.py:193
+
+
+class SingleBlockPushState(NamedTuple):
+    effector: jnp.ndarray
+    effector_target: jnp.ndarray
+    block_pos: jnp.ndarray     # [2]
+    block_yaw: jnp.ndarray
+    target_pos: jnp.ndarray    # [2]
+    target_yaw: jnp.ndarray
+    reach_target: jnp.ndarray  # [2] (REACH variant)
+    init_goal_distance: jnp.ndarray
+    best_fraction: jnp.ndarray
+    done: jnp.ndarray
+    steps: jnp.ndarray
+
+
+def single_block_push_reset(key, task: str = "PUSH") -> SingleBlockPushState:
+    kb, kby, kt, kty = jax.random.split(key, 4)
+    block_x = WORKSPACE_CENTER_X + jax.random.uniform(kb, minval=-0.1, maxval=0.1)
+    block_y = -0.2 + jax.random.uniform(kb, minval=-0.15, maxval=0.15)
+    block = jnp.stack([block_x, block_y])
+    byaw = jax.random.uniform(kby, minval=0.0, maxval=jnp.pi)
+    tx = WORKSPACE_CENTER_X + jax.random.uniform(kt, minval=-0.10, maxval=0.10)
+    ty = 0.2 + jax.random.uniform(kt, minval=-0.15, maxval=0.15)
+    target = jnp.stack([tx, ty])
+    tyaw = jnp.pi + jax.random.uniform(kty, minval=-jnp.pi / 6, maxval=jnp.pi / 6)
+
+    # REACH: target point 5cm before the block on the block->target line
+    # (block_pushing.py:481-489)
+    d = target - block
+    dir_bt = d / jnp.maximum(jnp.linalg.norm(d), 1e-9)
+    reach_target = block - dir_bt * 0.05
+
+    goal = reach_target if task == "REACH" else target
+    ref = EFFECTOR_START if task == "REACH" else block
+    init_dist = jnp.linalg.norm(goal - ref)
+    return SingleBlockPushState(
+        effector=EFFECTOR_START, effector_target=EFFECTOR_START,
+        block_pos=block, block_yaw=byaw, target_pos=target, target_yaw=tyaw,
+        reach_target=reach_target, init_goal_distance=init_dist,
+        best_fraction=jnp.zeros(()), done=jnp.asarray(False),
+        steps=jnp.zeros((), jnp.int32))
+
+
+def single_block_push_obs(state: SingleBlockPushState) -> jnp.ndarray:
+    """10-dim obs in OrderedDict order (block_pushing.py:497-511)."""
+    return jnp.concatenate([
+        state.block_pos, state.block_yaw[None], state.effector,
+        state.effector_target, state.target_pos, state.target_yaw[None]])
+
+
+def single_block_push_step(state: SingleBlockPushState, action: jnp.ndarray,
+                           task: str = "PUSH"
+                           ) -> Tuple[SingleBlockPushState, jnp.ndarray,
+                                      jnp.ndarray, jnp.ndarray]:
+    tgt = jnp.clip(state.effector_target + action,
+                   WORKSPACE_BOUNDS[0], WORKSPACE_BOUNDS[1])
+
+    def substep(carry, _):
+        eff, bpos, byaw = carry
+        to_tgt = tgt - eff
+        d = jnp.linalg.norm(to_tgt)
+        step_len = jnp.minimum(d, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
+        eff = eff + to_tgt / jnp.maximum(d, 1e-9) * step_len
+        bpos, byaw = _push_block(bpos, byaw, eff, EFFECTOR_RADIUS)
+        return (eff, bpos, byaw), None
+
+    (eff, bpos, byaw), _ = jax.lax.scan(
+        substep, (state.effector, state.block_pos, state.block_yaw),
+        None, length=N_SUBSTEPS)
+
+    if task == "REACH":
+        goal_distance = jnp.linalg.norm(state.reach_target - eff)
+    else:
+        goal_distance = jnp.linalg.norm(state.target_pos - bpos)
+    fraction = 1.0 - goal_distance / state.init_goal_distance
+    best = jnp.maximum(state.best_fraction, fraction)
+    success = goal_distance < GOAL_DIST_TOLERANCE
+    reward = jnp.where(success, 1.0, best)
+    done = state.done | success
+
+    new_state = SingleBlockPushState(
+        effector=eff, effector_target=tgt, block_pos=bpos, block_yaw=byaw,
+        target_pos=state.target_pos, target_yaw=state.target_yaw,
+        reach_target=state.reach_target,
+        init_goal_distance=state.init_goal_distance, best_fraction=best,
+        done=done, steps=state.steps + 1)
+    frozen = jax.tree.map(
+        lambda new, old: jnp.where(
+            jnp.reshape(state.done, state.done.shape + (1,) * (new.ndim - state.done.ndim)),
+            old, new), new_state, state)
+    reward = jnp.where(state.done, 0.0, reward)
+    return frozen, single_block_push_obs(frozen), reward, frozen.done
+
+
+# normalized-variant stats (block_pushing.py:823-838 wrapper semantics:
+# map obs/action affinely into [-1, 1] over the workspace/action ranges)
+_OBS_LO = jnp.concatenate([WORKSPACE_BOUNDS[0], jnp.asarray([-jnp.pi]),
+                           WORKSPACE_BOUNDS[0], WORKSPACE_BOUNDS[0],
+                           WORKSPACE_BOUNDS[0], jnp.asarray([0.0])])
+_OBS_HI = jnp.concatenate([WORKSPACE_BOUNDS[1], jnp.asarray([jnp.pi]),
+                           WORKSPACE_BOUNDS[1], WORKSPACE_BOUNDS[1],
+                           WORKSPACE_BOUNDS[1], jnp.asarray([2 * jnp.pi])])
+
+
+def normalize_obs(obs: jnp.ndarray) -> jnp.ndarray:
+    return (obs - _OBS_LO) / (_OBS_HI - _OBS_LO) * 2.0 - 1.0
+
+
+def denormalize_action(action: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] -> the env's +-0.1 delta-xy range (block_pushing.py:823)."""
+    return action * 0.1

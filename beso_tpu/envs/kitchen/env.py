@@ -156,6 +156,28 @@ def kitchen_reset(key, task_mask=None) -> KitchenState:
     )
 
 
+def kitchen_reset_from_qpos(qpos: jnp.ndarray, task_mask=None) -> KitchenState:
+    """Reset from a known configuration — the `_start_from_known` path
+    (kitchen_workspace_manager.py:500-525, `all_init_qpos.npy` demos)."""
+    open_tasks = (jnp.ones((7,), bool) if task_mask is None
+                  else jnp.asarray(task_mask, bool))
+    return KitchenState(
+        qpos=qpos, ee_pos=panda_fk(qpos[:7]),
+        tasks_to_complete=open_tasks, completed=jnp.zeros((7,), bool),
+        completion_order=jnp.full((7,), -1, jnp.int32),
+        done=jnp.asarray(False), steps=jnp.zeros((), jnp.int32))
+
+
+def load_init_qpos(data_path):
+    """Load demonstration start states (kitchen_workspace_manager.py:500-509)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    return (np.load(Path(data_path) / "all_init_qpos.npy"),
+            np.load(Path(data_path) / "all_init_qvel.npy"))
+
+
 def kitchen_obs(state: KitchenState) -> jnp.ndarray:
     return state.qpos
 

@@ -37,7 +37,8 @@ class BlockPushWorkspace(BaseWorkspace):
                  scale_data: bool = True, window_size: int = 5,
                  goal_seq_len: int = 1, use_minmax_scaler: bool = True,
                  mask_targets: bool = False, reduce_obs_dim: bool = True,
-                 train_fraction: float = 0.95, metrics_writer=None):
+                 train_fraction: float = 0.95, metrics_writer=None,
+                 data=None):
         self.seed = seed
         self.eval_n_times = eval_n_times
         self.eval_n_steps = eval_n_steps
@@ -47,7 +48,9 @@ class BlockPushWorkspace(BaseWorkspace):
         self.reduce_obs_dim = reduce_obs_dim
         self.metrics_writer = metrics_writer
 
-        if data_path is not None:
+        if data is not None:
+            self.full_data = data
+        elif data_path is not None:
             # goal fns need the FULL 16-dim obs (flip fix reads targets)
             self.full_data = load_multimodal_push(data_path, onehot_goals=True,
                                                   reduce_obs_dim=False)

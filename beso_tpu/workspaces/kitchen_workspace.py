@@ -40,7 +40,8 @@ class FrankaKitchenWorkspace(BaseWorkspace):
                  eval_n_times: int = 100, eval_n_steps: int = 280,
                  scale_data: bool = False, window_size: int = 4,
                  goal_seq_len: int = 2, min_future_sep: int = 0,
-                 train_fraction: float = 0.95, metrics_writer=None):
+                 train_fraction: float = 0.95, metrics_writer=None,
+                 data: Optional[TrajectoryData] = None):
         self.seed = seed
         self.eval_n_times = eval_n_times
         self.eval_n_steps = eval_n_steps
@@ -48,7 +49,9 @@ class FrankaKitchenWorkspace(BaseWorkspace):
         self.train_fraction = train_fraction
         self.metrics_writer = metrics_writer
 
-        if data_path is not None:
+        if data is not None:
+            self.full_data = data
+        elif data_path is not None:
             self.full_data = load_relay_kitchen(data_path, onehot_goals=True)
         else:  # datasets not vendored (osf.io/q3dx2) — synthetic stand-in
             log.warning("no kitchen data_path given: using synthetic data")
