@@ -89,20 +89,23 @@ ACT_AMP = 2.0
 CONTROL_DT = 0.08  # 12.5 Hz relay-kitchen control rate
 
 # ---- surrogate object-interaction table (v0 calibration constants) -------
-# one row per task element: handle position [3] (world, robot base at origin
-# on the counter), drive direction [3] (fingertip motion component that
-# advances the PRIMARY joint positively), interaction radius, gain.
-# Kitchen scene layout approximated from the adept_envs franka kitchen:
-# microwave front-left, burners/knob panel center, light switch above knobs,
-# cabinets up high, kettle on the front-right burner.
+# one row per task element: handle position [3] (world), drive direction [3]
+# (fingertip motion component that advances the PRIMARY joint positively),
+# interaction radius, gain. Kitchen scene layout approximated from the
+# adept_envs franka kitchen: microwave front-left, burners/knob panel center,
+# light switch above knobs, cabinets up high, kettle on a burner (the kettle
+# handle TRACKS the kettle's qpos, see kitchen_step). The robot base is
+# elevated (the adept_envs franka is pedestal-mounted in world coords where
+# the kettle sits at z~1.62); all handles are verified reachable.
+KITCHEN_BASE_POS = (0.0, 0.3, 0.8)
 _HANDLES = np.asarray([
-    [0.35, 0.60, 0.95],   # bottom burner knob
-    [0.35, 0.60, 1.05],   # top burner knob
-    [0.25, 0.60, 1.15],   # light switch
-    [0.40, 0.55, 1.35],   # slide cabinet handle
-    [-0.15, 0.55, 1.35],  # hinge cabinet handle
-    [-0.35, 0.45, 0.85],  # microwave door handle
-    [0.20, 0.45, 0.80],   # kettle handle
+    [0.35, 0.90, 1.00],   # bottom burner knob
+    [0.35, 0.90, 1.10],   # top burner knob
+    [0.25, 0.90, 1.30],   # light switch
+    [0.40, 0.85, 1.40],   # slide cabinet handle
+    [-0.15, 0.85, 1.40],  # hinge cabinet handle
+    [-0.35, 0.75, 0.90],  # microwave door handle
+    [-0.27, 0.35, 1.62],  # kettle handle (dynamic: overridden by qpos[23:26])
 ], np.float32)
 _DRIVE_DIRS = np.asarray([
     [-1.0, 0.0, 0.0],    # knob turn ~ lateral motion
@@ -147,7 +150,7 @@ def kitchen_reset(key, task_mask=None) -> KitchenState:
                   else jnp.asarray(task_mask, bool))
     return KitchenState(
         qpos=qpos,
-        ee_pos=panda_fk(qpos[:7]),
+        ee_pos=panda_fk(qpos[:7], KITCHEN_BASE_POS),
         tasks_to_complete=open_tasks,
         completed=jnp.zeros((7,), bool),
         completion_order=jnp.full((7,), -1, jnp.int32),
@@ -162,7 +165,7 @@ def kitchen_reset_from_qpos(qpos: jnp.ndarray, task_mask=None) -> KitchenState:
     open_tasks = (jnp.ones((7,), bool) if task_mask is None
                   else jnp.asarray(task_mask, bool))
     return KitchenState(
-        qpos=qpos, ee_pos=panda_fk(qpos[:7]),
+        qpos=qpos, ee_pos=panda_fk(qpos[:7], KITCHEN_BASE_POS),
         tasks_to_complete=open_tasks, completed=jnp.zeros((7,), bool),
         completion_order=jnp.full((7,), -1, jnp.int32),
         done=jnp.asarray(False), steps=jnp.zeros((), jnp.int32))
@@ -195,13 +198,14 @@ def kitchen_step(state: KitchenState, action: jnp.ndarray
 
     # robot: velocity-integrated joints, clamped to limits
     q_rob = jnp.clip(state.qpos[:9] + a * CONTROL_DT, _JOINT_LO, _JOINT_HI)
-    ee_new = panda_fk(q_rob[:7])
+    ee_new = panda_fk(q_rob[:7], KITCHEN_BASE_POS)
     ee_disp = ee_new - state.ee_pos
 
     # objects: fingertip near a handle drives the element's primary joint by
     # the projected fingertip displacement (v0 surrogate dynamics)
     obj = state.qpos[9:]
-    handle_dist = jnp.linalg.norm(ee_new[None, :] - HANDLES, axis=-1)  # [7]
+    handles = HANDLES.at[6].set(state.qpos[23:26])  # kettle handle tracks it
+    handle_dist = jnp.linalg.norm(ee_new[None, :] - handles, axis=-1)  # [7]
     near = handle_dist < INTERACT_RADIUS
     drive = jnp.einsum("td,d->t", DRIVE_DIRS, ee_disp) * DRIVE_GAIN * near
 
