@@ -123,6 +123,7 @@ class DiffusionGPT(nn.Module):
     cond_mask_prob: float = 0.0
     linear_output: bool = True
     goal_dim: Optional[int] = None  # defaults to state_dim (shared tok_emb)
+    sigma_embedding: str = "Linear"  # time_embedding_fn type (utils.py:8-23)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -152,10 +153,17 @@ class DiffusionGPT(nn.Module):
         G = self.eff_goal_len
         deterministic = not train
 
-        # sigma token: Linear(log(sigma)/4) (score_gpts.py:284-286)
+        # sigma token: embedding of log(sigma)/4 (score_gpts.py:284-286);
+        # 'Linear' is the shipped choice, alternatives per utils.py:8-23
         sig = (jnp.log(sigma.astype(jnp.float32)) / 4.0).reshape(B, 1, 1)
-        emb_t = nn.Dense(self.embed_dim, dtype=self.dtype, name="sigma_emb",
-                         **_init_dense())(sig)
+        if self.sigma_embedding == "Linear":
+            emb_t = nn.Dense(self.embed_dim, dtype=self.dtype,
+                             name="sigma_emb", **_init_dense())(sig)
+        else:
+            from beso_tpu.models.embeddings import make_time_embedding
+
+            emb_t = make_time_embedding(self.sigma_embedding, self.embed_dim)(
+                sig.reshape(B)).reshape(B, 1, self.embed_dim)
 
         # CFG goal dropout: elementwise Bernoulli(p) zero mask while training
         # (score_gpts.py:360-371); full zeroing when sampling unconditionally.

@@ -41,6 +41,19 @@ class RolloutMetrics(NamedTuple):
     env_steps: jnp.ndarray    # [] total env steps executed (B * T)
 
 
+def average_success_metric(results: np.ndarray) -> float:
+    """Fraction of fully successful episodes — tf_agents AverageSuccessMetric
+    equivalent (beso/envs/block_pushing/metrics.py:27-60, unused dead code in
+    the reference because tf_agents was not installed)."""
+    return float((np.asarray(results) >= 1.0).mean())
+
+
+def average_final_goal_distance(goal_distances: np.ndarray) -> float:
+    """Mean final goal distance — tf_agents AverageFinalGoalDistance
+    equivalent (metrics.py:63-95)."""
+    return float(np.asarray(goal_distances).mean())
+
+
 def success_rate_histogram(n_completed: np.ndarray, max_k: int = 5) -> dict:
     """success_rate_k = fraction of episodes with >= k completions
     (kitchen_workspace_manager.py:553-563,455-471)."""
