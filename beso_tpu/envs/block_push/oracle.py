@@ -146,6 +146,7 @@ def generate_demonstrations(key, n_episodes: int = 64, n_steps: int = 120
     targets = np.stack([obs[..., 10:12], obs[..., 13:15]], axis=2)
     dist = np.linalg.norm(blocks[:, :, :, None] - targets[:, :, None], axis=-1)
     inside = dist < GOAL_DIST_TOLERANCE   # [N, T, block, target]
+    last_completion = np.zeros(n_episodes, np.int64)
     for b in range(2):
         for t in range(2):
             first = np.argmax(inside[:, :, b, t], axis=1)
@@ -153,6 +154,13 @@ def generate_demonstrations(key, n_episodes: int = 64, n_steps: int = 120
             for i in range(n_episodes):
                 if has[i]:
                     onehot[i, first[i], 2 * b + t] = 1.0
-    lengths = np.full((n_episodes,), n_steps, np.int32)
+                    last_completion[i] = max(last_completion[i], first[i])
+    # truncate each demo shortly after its last completion: the oracle idles
+    # (zero actions) once done, and idle-dominated data teaches the policy to
+    # stand still (the real teleop demos end at task completion too)
+    tail = 10
+    lengths = np.where(last_completion > 0,
+                       np.minimum(last_completion + tail, n_steps),
+                       n_steps).astype(np.int32)
     return TrajectoryData(observations=obs, actions=act, lengths=lengths,
                           onehot_goals=onehot)

@@ -127,10 +127,16 @@ def generate_kitchen_demonstrations(key, n_episodes: int = 64,
     obs, act = np.asarray(obs), np.asarray(act)
     completed, order = np.asarray(completed), np.asarray(order)
     onehot = np.zeros((n_episodes, n_steps, 7), np.float32)
+    last_completion = np.zeros(n_episodes, np.int64)
     for i in range(n_episodes):
         for t in range(7):
             if completed[i, t] and 0 < order[i, t] <= n_steps:
                 onehot[i, order[i, t] - 1, t] = 1.0
-    lengths = np.full((n_episodes,), n_steps, np.int32)
+                last_completion[i] = max(last_completion[i], order[i, t] - 1)
+    # truncate idle tails (see block_push oracle: idle-dominated demos teach
+    # the policy to stand still)
+    lengths = np.where(last_completion > 0,
+                       np.minimum(last_completion + 10, n_steps),
+                       n_steps).astype(np.int32)
     return TrajectoryData(observations=obs, actions=act, lengths=lengths,
                           onehot_goals=onehot)

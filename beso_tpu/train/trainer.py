@@ -127,6 +127,30 @@ def make_train_step(
     return train_step
 
 
+def make_fused_train_steps(
+    denoiser, optimizer, sample_density, scaler, train_sampler,
+    batch_size: int, n_steps: int, **kwargs):
+    """Fuse `n_steps` train steps (batch sampling included) into ONE jitted
+    lax.scan. The reference's python step loop pays a host round-trip per
+    step (beso_agent.py:177-213); on TPU over a network tunnel that latency
+    dominates a small model — fusing recovers compute-bound throughput."""
+    step_fn = make_train_step(denoiser, optimizer, sample_density, scaler,
+                              **kwargs)
+
+    @jax.jit
+    def fused(ts: TrainState, key):
+        def body(ts, k):
+            k_batch, k_step = jax.random.split(k)
+            batch = train_sampler.sample_batch(k_batch, batch_size)
+            return step_fn(ts, batch, k_step)
+
+        keys = jax.random.split(key, n_steps)
+        ts, losses = jax.lax.scan(body, ts, keys)
+        return ts, losses
+
+    return fused
+
+
 def evaluate_mse(
     denoiser: GCDenoiser,
     params,
@@ -175,6 +199,7 @@ class Trainer:
     checkpoint_dir: Optional[str] = None
     log_every: int = 1000
     metrics_writer: Any = None
+    fused_steps: int = 50  # train steps per device program (latency hiding)
 
     def init_state(self, key, sample_batch: dict) -> TrainState:
         state_t, action_t, goal_t = process_batch(sample_batch, self.scaler)
@@ -194,21 +219,29 @@ class Trainer:
               key, batch_size: int = 1024) -> TrainState:
         """train_sampler: SlicedDataset-like with .sample_batch(key, n);
         test_batches_fn: () -> iterable of test batches."""
-        train_step = make_train_step(
-            self.denoiser, self.optimizer, self.sample_density, self.scaler,
-            self.ema_decay, self.update_ema_every_n_steps,
-            self.pred_last_action_only, self.cond_mask_prob)
+        kwargs = dict(ema_decay=self.ema_decay,
+                      update_ema_every_n_steps=self.update_ema_every_n_steps,
+                      pred_last_action_only=self.pred_last_action_only,
+                      cond_mask_prob=self.cond_mask_prob)
         eval_fn = jax.jit(partial(
             evaluate_mse, self.denoiser, scaler=self.scaler,
             num_sampling_steps=self.num_sampling_steps,
             sigma_min=self.sigma_min, sigma_max=self.sigma_max,
             sampler_type=self.sampler_type,
             pred_last_action_only=self.pred_last_action_only))
+        # fused multi-step programs: one device launch per `chunk` steps
+        chunk = max(1, min(self.fused_steps, self.eval_every_n_steps))
+        fused = make_fused_train_steps(
+            self.denoiser, self.optimizer, self.sample_density, self.scaler,
+            train_sampler, batch_size, chunk, **kwargs)
+        single = make_train_step(self.denoiser, self.optimizer,
+                                 self.sample_density, self.scaler, **kwargs)
 
         best_test_mse = float("inf")
         t0 = time.time()
-        for step in range(self.max_train_steps):
-            key, k_batch, k_step = jax.random.split(key, 3)
+        step = 0
+        while step < self.max_train_steps:
+            key, k_chunk = jax.random.split(key)
             if step % self.eval_every_n_steps == 0:
                 mses = [float(eval_fn(self.eval_params(ts), batch=b,
                                       key=jax.random.fold_in(key, i)))
@@ -222,13 +255,24 @@ class Trainer:
                     if self.checkpoint_dir is not None:
                         self.save(ts, self.checkpoint_dir)
                         log.info("new best test loss; checkpoint stored")
-            batch = train_sampler.sample_batch(k_batch, batch_size)
-            ts, loss = train_step(ts, batch, k_step)
-            if step % self.log_every == 0:
+            n = min(chunk, self.max_train_steps - step,
+                    self.eval_every_n_steps - step % self.eval_every_n_steps)
+            if n == chunk:
+                ts, losses = fused(ts, k_chunk)
+                loss = float(losses[-1])
+            else:
+                loss = None
+                for i in range(n):
+                    k_chunk, k_b, k_s = jax.random.split(k_chunk, 3)
+                    batch = train_sampler.sample_batch(k_b, batch_size)
+                    ts, loss_v = single(ts, batch, k_s)
+                    loss = float(loss_v)
+            step += n
+            if step % self.log_every < n:
                 log.info("step %d: batch loss %.6f (%.1f s)", step,
-                         float(loss), time.time() - t0)
+                         loss, time.time() - t0)
             if self.metrics_writer is not None:
-                self.metrics_writer.log({"loss": float(loss)}, step=step)
+                self.metrics_writer.log({"loss": loss}, step=step)
         if self.checkpoint_dir is not None:
             self.save(ts, self.checkpoint_dir, name="final")
         return ts
