@@ -143,15 +143,24 @@ class BesoAgent:
         return self.state
 
     def train_agent(self, train_ds, test_ds, key,
-                    batch_size: Optional[int] = None) -> TrainState:
-        """Step-based training (beso_agent.py:119-213)."""
+                    batch_size: Optional[int] = None,
+                    train_method: str = "steps", max_epochs: int = 100,
+                    patience: int = 80) -> TrainState:
+        """Step- or epoch-based training (beso_agent.py:119-213)."""
         bs = batch_size or self.cfg.train_batch_size
 
         def test_batches():
             return test_ds.epoch_batches(min(bs, max(len(test_ds), 1)))
 
-        self.state = self.trainer.train(self.state, train_ds, test_batches,
-                                        key, batch_size=bs)
+        if train_method == "epochs":
+            self.state = self.trainer.train_on_epochs(
+                self.state, train_ds, test_batches, key, max_epochs,
+                batch_size=bs, patience=patience)
+        elif train_method == "steps":
+            self.state = self.trainer.train(self.state, train_ds,
+                                            test_batches, key, batch_size=bs)
+        else:
+            raise ValueError("Either epochs or n_steps must be specified!")
         return self.state
 
     # -- inference ---------------------------------------------------------

@@ -277,6 +277,55 @@ class Trainer:
             self.save(ts, self.checkpoint_dir, name="final")
         return ts
 
+    def train_on_epochs(self, ts: TrainState, train_sampler, test_batches_fn,
+                        key, epochs: int, batch_size: int = 1024,
+                        steps_per_epoch: Optional[int] = None,
+                        patience: int = 80) -> TrainState:
+        """Epoch-mode training with early stopping on test MSE
+        (beso_agent.py:130-175 + base_agent.py:144-157: stop after `patience`
+        epochs without improvement, checkpointing the best)."""
+        kwargs = dict(ema_decay=self.ema_decay,
+                      update_ema_every_n_steps=self.update_ema_every_n_steps,
+                      pred_last_action_only=self.pred_last_action_only,
+                      cond_mask_prob=self.cond_mask_prob)
+        eval_fn = jax.jit(partial(
+            evaluate_mse, self.denoiser, scaler=self.scaler,
+            num_sampling_steps=self.num_sampling_steps,
+            sigma_min=self.sigma_min, sigma_max=self.sigma_max,
+            sampler_type=self.sampler_type,
+            pred_last_action_only=self.pred_last_action_only))
+        spe = steps_per_epoch or max(1, len(train_sampler) // batch_size)
+        fused = make_fused_train_steps(
+            self.denoiser, self.optimizer, self.sample_density, self.scaler,
+            train_sampler, batch_size, spe, **kwargs)
+
+        best_test_mse = float("inf")
+        epochs_no_improvement = 0
+        for epoch in range(epochs):
+            key, k_ep = jax.random.split(key)
+            mses = [float(eval_fn(self.eval_params(ts), batch=b,
+                                  key=jax.random.fold_in(key, i)))
+                    for i, b in enumerate(test_batches_fn())]
+            test_mse = sum(mses) / max(len(mses), 1)
+            if test_mse < best_test_mse:
+                best_test_mse = test_mse
+                epochs_no_improvement = 0
+                if self.checkpoint_dir is not None:
+                    self.save(ts, self.checkpoint_dir)
+            else:
+                epochs_no_improvement += 1
+            if epochs_no_improvement > patience:
+                log.info("Early stopping!")
+                break
+            ts, losses = fused(ts, k_ep)
+            log.info("Epoch %d: mean test mse %.6f, train loss %.6f",
+                     epoch, test_mse, float(losses[-1]))
+            if self.metrics_writer is not None:
+                self.metrics_writer.log(
+                    {"epoch_loss": float(jnp.mean(losses)),
+                     "epoch_test_loss": test_mse, "epoch": epoch})
+        return ts
+
     def save(self, ts: TrainState, directory: str, name: str = "best"):
         from beso_tpu.train.checkpoint import save_train_state
 

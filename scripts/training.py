@@ -130,7 +130,10 @@ def main(argv=None):
     key, k_init, k_batch, k_train, k_eval = jax.random.split(key, 5)
     sample_batch = workspace.train_set.sample_batch(k_batch, 8)
     agent.init(k_init, sample_batch)
-    agent.train_agent(workspace.train_set, workspace.test_set, k_train)
+    agent.train_agent(workspace.train_set, workspace.test_set, k_train,
+                      train_method=cfg.get("train_method", "steps"),
+                      max_epochs=cfg.get("max_epochs", 100),
+                      patience=cfg.get("patience", 80))
     agent.store_model_weights(str(run_dir))
 
     # final evaluation; CFG-wrapped when trained with goal dropout
