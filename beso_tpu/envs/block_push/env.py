@@ -93,16 +93,37 @@ def _sample_block_positions(key) -> jnp.ndarray:
     return pos
 
 
-def block_push_reset(key) -> BlockPushState:
-    """Single-env reset; vmap for a batch (block_pushing_multimodal.py:163-310)."""
+def block_push_reset(key, horizontal: bool = False) -> BlockPushState:
+    """Single-env reset; vmap for a batch (block_pushing_multimodal.py:163-310).
+
+    `horizontal=True` gives the BlockPushHorizontalMultimodal layout
+    (block_pushing_multimodal.py:583-703): blocks spawn left/right of center
+    (y = +-0.2 + noise, x ~ 0.35) and both targets sit at x ~ 0.5 mirrored in
+    y, instead of the bottom-blocks / top-targets arrangement.
+    """
     k_block, k_byaw, k_flip, k_tx, k_ty, k_tyaw = jax.random.split(key, 6)
-    block_pos = _sample_block_positions(k_block)
+    if horizontal:
+        kb1, kb2, kadd = jax.random.split(k_block, 3)
+        add = 0.2 * jnp.where(jax.random.bernoulli(kadd), 1.0, -1.0)
+        u = jax.random.uniform(kb1, (2, 2))
+        bx = 0.35 + 0.5 * (u[:, 0] * 2 - 1) * RANDOM_X_SHIFT
+        by = (jnp.asarray([1.0, -1.0]) * add
+              + 0.5 * (u[:, 1] * 2 - 1) * RANDOM_Y_SHIFT)
+        block_pos = jnp.stack([bx, by], axis=-1)
+    else:
+        block_pos = _sample_block_positions(k_block)
     block_yaw = jax.random.uniform(k_byaw, (2,), minval=0.0, maxval=jnp.pi)
 
-    add = 0.12 * jnp.where(jax.random.bernoulli(k_flip), 1.0, -1.0)
-    tx = (WORKSPACE_CENTER_X + jnp.asarray([1.0, -1.0]) * add
-          + (jax.random.uniform(k_tx, (2,)) * 2 - 1) * 0.05 * RANDOM_X_SHIFT)
-    ty = 0.2 + (jax.random.uniform(k_ty, (2,)) * 2 - 1) * 0.05 * RANDOM_Y_SHIFT
+    if horizontal:
+        add = 0.2 * jnp.where(jax.random.bernoulli(k_flip), 1.0, -1.0)
+        tx = 0.5 + (jax.random.uniform(k_tx, (2,)) * 2 - 1) * 0.05 * RANDOM_X_SHIFT
+        ty = (jnp.asarray([1.0, -1.0]) * add
+              + (jax.random.uniform(k_ty, (2,)) * 2 - 1) * 0.05 * RANDOM_Y_SHIFT)
+    else:
+        add = 0.12 * jnp.where(jax.random.bernoulli(k_flip), 1.0, -1.0)
+        tx = (WORKSPACE_CENTER_X + jnp.asarray([1.0, -1.0]) * add
+              + (jax.random.uniform(k_tx, (2,)) * 2 - 1) * 0.05 * RANDOM_X_SHIFT)
+        ty = 0.2 + (jax.random.uniform(k_ty, (2,)) * 2 - 1) * 0.05 * RANDOM_Y_SHIFT
     tyaw = jnp.pi + (jax.random.uniform(k_tyaw, (2,)) * 2 - 1) * jnp.pi / 30
 
     return BlockPushState(

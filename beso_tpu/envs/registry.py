@@ -29,12 +29,13 @@ def _kitchen_spec(task_mask=None, steps=280) -> EnvSpec:
                    kitchen_obs, steps)
 
 
-def _multimodal_spec(steps=350) -> EnvSpec:
+def _multimodal_spec(steps=350, horizontal=False) -> EnvSpec:
     from beso_tpu.envs.block_push.env import (block_push_obs,
                                               block_push_reset,
                                               block_push_step)
 
-    return EnvSpec(block_push_reset, block_push_step, block_push_obs, steps)
+    return EnvSpec(partial(block_push_reset, horizontal=horizontal),
+                   block_push_step, block_push_obs, steps)
 
 
 def _single_spec(task: str, steps=100) -> EnvSpec:
@@ -69,7 +70,7 @@ _REGISTRY = {
     "BlockInsertRgb-v0": lambda: _single_spec("PUSH"),
     "BlockPushMultimodal-v0": _multimodal_spec,
     "BlockPushMultimodalFlipped-v0": _multimodal_spec,
-    "BlockPushHorizontalMultimodal-v0": _multimodal_spec,
+    "BlockPushHorizontalMultimodal-v0": lambda: _multimodal_spec(horizontal=True),
     "BlockPushMultimodalRgb-v0": _multimodal_spec,
     "SharedBlockPushMultimodal-v0": _multimodal_spec,
 }
