@@ -112,32 +112,40 @@ def oracle_policy(state: BlockPushState, carry: OracleCarry,
     return action, OracleCarry(cur_idx=next_idx, phase=phase)
 
 
-def rollout_oracle(key, n_steps: int = 200):
+def rollout_oracle(key, n_steps: int = 200, action_noise: float = 0.0):
     """Single-episode oracle rollout. Returns (obs [T,16], act [T,2],
-    completed [4] bool, completion_steps [4])."""
-    k_env, k_par = jax.random.split(key)
+    completed [4] bool, completion_steps [4]).
+
+    `action_noise` adds gaussian jitter to the executed (and recorded)
+    actions — like human play data, noisy demos visit off-trajectory states
+    and teach the policy recovery behavior, which a perfectly clean scripted
+    demonstrator cannot (closed-loop BC brittleness)."""
+    k_env, k_par, k_noise = jax.random.split(key, 3)
     env = block_push_reset(k_env)
     params = sample_oracle_params(k_par)
     carry = oracle_reset()
 
-    def body(c, _):
+    def body(c, k):
         env, oc = c
         obs = block_push_obs(env)
         action, oc = oracle_policy(env, oc, params)
+        if action_noise > 0:
+            action = action + jax.random.normal(k, (2,)) * action_noise
         env, _, reward, done = block_push_step(env, action)
         return (env, oc), (obs, action)
 
-    (env, _), (obs, act) = jax.lax.scan(body, (env, carry), None,
-                                        length=n_steps)
+    (env, _), (obs, act) = jax.lax.scan(body, (env, carry),
+                                        jax.random.split(k_noise, n_steps))
     return obs, act, env.completed, env.in_target
 
 
-def generate_demonstrations(key, n_episodes: int = 64, n_steps: int = 120
-                            ) -> TrajectoryData:
+def generate_demonstrations(key, n_episodes: int = 64, n_steps: int = 120,
+                            action_noise: float = 0.004) -> TrajectoryData:
     """Vectorized demo synthesis: TrajectoryData with onehot task goals in the
     dataset's format (onehot row set at the first completion frame)."""
     keys = jax.random.split(key, n_episodes)
-    obs, act, completed, _ = jax.vmap(lambda k: rollout_oracle(k, n_steps))(keys)
+    obs, act, completed, _ = jax.vmap(
+        lambda k: rollout_oracle(k, n_steps, action_noise))(keys)
     obs, act = np.asarray(obs), np.asarray(act)
 
     # derive per-frame onehot completion labels from block/target proximity
@@ -158,7 +166,7 @@ def generate_demonstrations(key, n_episodes: int = 64, n_steps: int = 120
     # truncate each demo shortly after its last completion: the oracle idles
     # (zero actions) once done, and idle-dominated data teaches the policy to
     # stand still (the real teleop demos end at task completion too)
-    tail = 10
+    tail = 5
     lengths = np.where(last_completion > 0,
                        np.minimum(last_completion + tail, n_steps),
                        n_steps).astype(np.int32)

@@ -32,12 +32,14 @@ import jax
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--train-steps", type=int, default=4000)
+    parser.add_argument("--env", choices=["block_push", "kitchen"],
+                        default="block_push")
+    parser.add_argument("--train-steps", type=int, default=10000)
     parser.add_argument("--episodes", type=int, default=512)
     parser.add_argument("--demo-steps", type=int, default=160)
     parser.add_argument("--batch-size", type=int, default=512)
     parser.add_argument("--eval-n-times", type=int, default=100)
-    parser.add_argument("--eval-n-steps", type=int, default=300)
+    parser.add_argument("--eval-n-steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=6)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
@@ -45,30 +47,50 @@ def main(argv=None):
     log = logging.getLogger("validate_e2e")
 
     from beso_tpu.agents.beso_agent import BesoAgent, BesoAgentConfig
-    from beso_tpu.envs.block_push.oracle import generate_demonstrations
-    from beso_tpu.workspaces import BlockPushWorkspace
+    from beso_tpu.workspaces import BlockPushWorkspace, FrankaKitchenWorkspace
 
     key = jax.random.PRNGKey(args.seed)
     k_demo, k_init, k_train, k_eval, k_eval0 = jax.random.split(key, 5)
 
     t0 = time.time()
     log.info("generating %d oracle demonstrations...", args.episodes)
-    data = generate_demonstrations(k_demo, n_episodes=args.episodes,
-                                   n_steps=args.demo_steps)
+    if args.env == "block_push":
+        from beso_tpu.envs.block_push.oracle import generate_demonstrations
+
+        data = generate_demonstrations(k_demo, n_episodes=args.episodes,
+                                       n_steps=args.demo_steps)
+    else:
+        from beso_tpu.envs.kitchen.oracle import generate_kitchen_demonstrations
+
+        data = generate_kitchen_demonstrations(
+            k_demo, n_episodes=args.episodes, n_steps=max(args.demo_steps, 280))
     log.info("demos done in %.1fs (success label count %.2f/ep)",
              time.time() - t0, float(data.onehot_goals.sum()) / args.episodes)
 
-    ws = BlockPushWorkspace(seed=args.seed, data=data,
-                            eval_n_times=args.eval_n_times,
-                            eval_n_steps=args.eval_n_steps)
-    cfg = BesoAgentConfig(
-        obs_dim=10, action_dim=2, hidden_dim=240, n_layers=4, n_heads=12,
-        goal_seq_len=1, window_size=5, attn_pdrop=0.05, resid_pdrop=0.05,
-        cond_mask_prob=0.1, sigma_min=0.05, sigma_max=1.0,
-        optimizer="adam", lr=1e-4, max_train_steps=args.train_steps,
-        eval_every_n_steps=max(args.train_steps // 4, 1),
-        train_batch_size=args.batch_size, cond_lambda=1.0,
-        compute_dtype="bfloat16")
+    if args.env == "block_push":
+        ws = BlockPushWorkspace(seed=args.seed, data=data,
+                                eval_n_times=args.eval_n_times,
+                                eval_n_steps=args.eval_n_steps or 300)
+        cfg = BesoAgentConfig(
+            obs_dim=10, action_dim=2, hidden_dim=240, n_layers=4, n_heads=12,
+            goal_seq_len=1, window_size=5, attn_pdrop=0.05, resid_pdrop=0.05,
+            cond_mask_prob=0.1, sigma_min=0.05, sigma_max=1.0,
+            optimizer="adam", lr=1e-4, max_train_steps=args.train_steps,
+            eval_every_n_steps=max(args.train_steps // 4, 1),
+            train_batch_size=args.batch_size, cond_lambda=1.0,
+            compute_dtype="bfloat16")
+    else:
+        ws = FrankaKitchenWorkspace(seed=42, data=data,
+                                    eval_n_times=args.eval_n_times,
+                                    eval_n_steps=args.eval_n_steps or 280)
+        cfg = BesoAgentConfig(
+            obs_dim=30, action_dim=9, hidden_dim=360, n_layers=6, n_heads=6,
+            goal_seq_len=2, window_size=4, attn_pdrop=0.3, resid_pdrop=0.0,
+            cond_mask_prob=0.1, sigma_min=0.005, sigma_max=1.0,
+            optimizer="adamw", lr=1e-4, max_train_steps=args.train_steps,
+            eval_every_n_steps=max(args.train_steps // 4, 1),
+            train_batch_size=args.batch_size, cond_lambda=1.0,
+            compute_dtype="bfloat16")
     agent = BesoAgent(cfg, ws.scaler)
     batch = ws.train_set.sample_batch(k_init, 8)
     agent.init(k_init, batch)
