@@ -98,32 +98,39 @@ def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
     return action, KitchenOracleCarry(task_ptr=ptr_next, task_steps=steps_next)
 
 
-def rollout_kitchen_oracle(key, n_steps: int = 280, n_tasks: int = 4):
+def rollout_kitchen_oracle(key, n_steps: int = 280, n_tasks: int = 4,
+                           action_noise: float = 0.0):
     """Single oracle episode: (obs [T,30], act [T,9], completed [7],
-    completion_order [7])."""
-    k_seq, _ = jax.random.split(key)
+    completion_order [7]). `action_noise` jitters the executed+recorded
+    actions so demos cover recovery states (see block_push oracle)."""
+    k_seq, k_noise = jax.random.split(key)
     task_seq = sample_task_sequence(k_seq, n_tasks)
     env = kitchen_reset(key)
     carry = oracle_reset()
 
-    def body(c, _):
+    def body(c, k):
         env, oc = c
         obs = kitchen_obs(env)
         action, oc = kitchen_oracle_policy(env, oc, task_seq)
+        if action_noise > 0:
+            action = jnp.clip(action + jax.random.normal(k, (9,)) * action_noise,
+                              -1.0, 1.0)
         env, _, _, _ = kitchen_step(env, action)
         return (env, oc), (obs, action)
 
-    (env, _), (obs, act) = jax.lax.scan(body, (env, carry), None, length=n_steps)
+    (env, _), (obs, act) = jax.lax.scan(body, (env, carry),
+                                        jax.random.split(k_noise, n_steps))
     return obs, act, env.completed, env.completion_order
 
 
 def generate_kitchen_demonstrations(key, n_episodes: int = 64,
-                                    n_steps: int = 280, n_tasks: int = 4
+                                    n_steps: int = 280, n_tasks: int = 4,
+                                    action_noise: float = 0.02
                                     ) -> TrajectoryData:
     """Relay-kitchen-format demos: onehot label row at each completion frame."""
     keys = jax.random.split(key, n_episodes)
     obs, act, completed, order = jax.vmap(
-        lambda k: rollout_kitchen_oracle(k, n_steps, n_tasks))(keys)
+        lambda k: rollout_kitchen_oracle(k, n_steps, n_tasks, action_noise))(keys)
     obs, act = np.asarray(obs), np.asarray(act)
     completed, order = np.asarray(completed), np.asarray(order)
     onehot = np.zeros((n_episodes, n_steps, 7), np.float32)
