@@ -37,7 +37,8 @@ def setup():
                                scale_data=True)
     model = DiffusionGPT(state_dim=OBS, action_dim=ACT, embed_dim=32,
                          n_layers=2, n_heads=4, goal_seq_len=G_LEN,
-                         obs_seq_len=W, cond_mask_prob=0.1)
+                         obs_seq_len=W, cond_mask_prob=0.1,
+                         approximate_gelu=False)  # torch-erf parity
     den = GCDenoiser(model, sigma_data=0.5)
     density = make_sample_density("loglogistic", 0.5, 0.05, 1.0)
     opt = make_optimizer("adam", lr=1e-3)
