@@ -121,6 +121,24 @@ DRIVE_DIRS = jnp.asarray(_DRIVE_DIRS / np.maximum(
     np.linalg.norm(_DRIVE_DIRS, axis=1, keepdims=True), 1e-9))
 INTERACT_RADIUS = 0.15
 DRIVE_GAIN = jnp.asarray([6.0, 6.0, 6.0, 2.0, 8.0, 5.0, 0.0])
+
+# articulated-object joint ranges (plausible furniture limits, goal values
+# well inside; prevents nonphysical overshoot of the surrogate dynamics).
+# Layout: object qpos indices 9..29 -> local 0..20.
+_OBJ_LO = np.full(21, -np.inf, np.float32)
+_OBJ_HI = np.full(21, np.inf, np.float32)
+for _idx, _lo, _hi in [
+    (11, -1.5, 0.1), (12, -1.5, 0.1),   # bottom burner knobs
+    (15, -1.5, 0.1), (16, -1.5, 0.1),   # top burner knobs
+    (17, -1.0, 0.1), (18, -1.0, 0.1),   # light switch
+    (19, -0.1, 0.6),                    # slide cabinet
+    (20, -0.2, 0.2), (21, -0.1, 1.7),   # hinge cabinet
+    (22, -1.6, 0.1),                    # microwave door
+    (25, 1.45, 1.75),                   # kettle stays on the counter (z)
+]:
+    _OBJ_LO[_idx - 9], _OBJ_HI[_idx - 9] = _lo, _hi
+OBJ_LO = jnp.asarray(_OBJ_LO)
+OBJ_HI = jnp.asarray(_OBJ_HI)
 # primary joint obs-index and secondary-follow ratios per element
 _PRIMARY = np.asarray([11, 15, 17, 19, 21, 22, 23])
 PRIMARY = jnp.asarray(_PRIMARY)
@@ -222,6 +240,8 @@ def kitchen_step(state: KitchenState, action: jnp.ndarray
     kettle_near = handle_dist[6] < INTERACT_RADIUS
     kettle_xyz = state.qpos[23:26] + jnp.where(kettle_near, 1.0, 0.0) * ee_disp
     qpos_new = qpos_new.at[23:26].set(kettle_xyz)
+    # clamp object joints to their furniture ranges
+    qpos_new = qpos_new.at[9:].set(jnp.clip(qpos_new[9:], OBJ_LO, OBJ_HI))
 
     # ---- completion & reward (kitchen_env.py:87-120) ----
     dists = _task_distances(qpos_new)
