@@ -139,13 +139,13 @@ for _idx, _lo, _hi in [
     _OBJ_LO[_idx - 9], _OBJ_HI[_idx - 9] = _lo, _hi
 OBJ_LO = jnp.asarray(_OBJ_LO)
 OBJ_HI = jnp.asarray(_OBJ_HI)
-# primary joint obs-index and secondary-follow ratios per element
+# primary joint obs-index per element, plus a secondary joint that follows
+# at a fixed ratio (ratios derived from the task-table goal values, e.g.
+# bottom burner goal (-0.88, -0.01) -> ratio 0.01/0.88)
 _PRIMARY = np.asarray([11, 15, 17, 19, 21, 22, 23])
+_SECONDARY = np.asarray([12, 16, 18, 19, 20, 22, 23])
 PRIMARY = jnp.asarray(_PRIMARY)
-# secondary joints: (obs index, ratio to primary)
-_SECONDARY = np.asarray([[12, 16, 18, 19, 20, 22, 23]])
 SECONDARY_RATIO = jnp.asarray([0.01136, 0.01087, 0.07246, 0.0, 0.0, 0.0, 0.0])
-SECONDARY = jnp.asarray([12, 16, 18, 19, 20, 22, 23])
 
 
 class KitchenState(NamedTuple):
@@ -232,7 +232,7 @@ def kitchen_step(state: KitchenState, action: jnp.ndarray
     # primary's motion at a fixed ratio (goal-value ratios of the task table)
     for t in range(6):
         p = int(_PRIMARY[t]) - 9
-        s = int(_SECONDARY[0][t]) - 9
+        s = int(_SECONDARY[t]) - 9
         qpos_new = qpos_new.at[9 + p].add(drive[t])
         if s != p:
             qpos_new = qpos_new.at[9 + s].add(drive[t] * SECONDARY_RATIO[t])
