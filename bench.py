@@ -65,6 +65,13 @@ def main():
     m = run(jax.random.PRNGKey(1))
     m.rewards.block_until_ready()
 
+    # optional jax.profiler trace (set BESO_PROFILE_DIR=/path to capture)
+    import os
+    profile_dir = os.environ.get("BESO_PROFILE_DIR")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            run(jax.random.PRNGKey(99)).rewards.block_until_ready()
+
     times = []
     for i in range(3):
         t0 = time.perf_counter()

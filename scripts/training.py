@@ -100,6 +100,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--run-dir", default=None)
+    parser.add_argument("--resume", default=None,
+                        help="run dir with a saved train_state to resume from "
+                             "(full optimizer+EMA+step state; the torch "
+                             "reference could not resume mid-training)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -130,6 +134,10 @@ def main(argv=None):
     key, k_init, k_batch, k_train, k_eval = jax.random.split(key, 5)
     sample_batch = workspace.train_set.sample_batch(k_batch, 8)
     agent.init(k_init, sample_batch)
+    if args.resume:
+        agent.load_pretrained_model(args.resume)
+        logging.info("resumed from %s at step %d", args.resume,
+                     int(agent.state.step))
     agent.train_agent(workspace.train_set, workspace.test_set, k_train,
                       train_method=cfg.get("train_method", "steps"),
                       max_epochs=cfg.get("max_epochs", 100),
