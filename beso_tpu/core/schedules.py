@@ -14,38 +14,43 @@ from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
 import numpy as np
 
 
-def append_zero(sigmas: jnp.ndarray) -> jnp.ndarray:
-    """Append a terminal 0 to a sigma grid (reference gc_sampling.py:22-23)."""
-    sigmas = jnp.asarray(sigmas)
-    return jnp.concatenate([sigmas, jnp.zeros((1,), dtype=sigmas.dtype)])
+def append_zero(sigmas) -> np.ndarray:
+    """Append a terminal 0 to a sigma grid (reference gc_sampling.py:22-23).
+
+    Returns a HOST (numpy) array: sigma grids are compile-time constants —
+    samplers embed them in the jitted scan, and the LMS sampler precomputes
+    quadrature coefficients from them host-side, so they must never be
+    traced values.
+    """
+    sigmas = np.asarray(sigmas, dtype=np.float32)
+    return np.concatenate([sigmas, np.zeros((1,), dtype=sigmas.dtype)])
 
 
-def get_sigmas_karras(n: int, sigma_min: float, sigma_max: float, rho: float = 7.0) -> jnp.ndarray:
+def get_sigmas_karras(n: int, sigma_min: float, sigma_max: float, rho: float = 7.0) -> np.ndarray:
     """Karras et al. (2022) rho-ramp schedule (gc_sampling.py:26-32)."""
     ramp = np.linspace(0, 1, n)
     min_inv_rho = sigma_min ** (1 / rho)
     max_inv_rho = sigma_max ** (1 / rho)
     sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
-    return append_zero(jnp.asarray(sigmas, dtype=jnp.float32))
+    return append_zero(sigmas)
 
 
-def get_sigmas_exponential(n: int, sigma_min: float, sigma_max: float) -> jnp.ndarray:
+def get_sigmas_exponential(n: int, sigma_min: float, sigma_max: float) -> np.ndarray:
     """Exponential (geometric) schedule (gc_sampling.py:35-38). BESO's default."""
     sigmas = np.exp(np.linspace(math.log(sigma_max), math.log(sigma_min), n))
-    return append_zero(jnp.asarray(sigmas, dtype=jnp.float32))
+    return append_zero(sigmas)
 
 
-def get_sigmas_linear(n: int, sigma_min: float, sigma_max: float) -> jnp.ndarray:
+def get_sigmas_linear(n: int, sigma_min: float, sigma_max: float) -> np.ndarray:
     """Linear schedule (gc_sampling.py:41-44)."""
     sigmas = np.linspace(sigma_max, sigma_min, n)
-    return append_zero(jnp.asarray(sigmas, dtype=jnp.float32))
+    return append_zero(sigmas)
 
 
-def cosine_beta_schedule(n: int, s: float = 0.008) -> jnp.ndarray:
+def cosine_beta_schedule(n: int, s: float = 0.008) -> np.ndarray:
     """Cosine beta schedule of Nichol & Dhariwal, flipped + zero-terminated
     (gc_sampling.py:47-58). Note: the reference returns *betas*, not sigmas;
     we keep that behavior for parity.
@@ -56,14 +61,14 @@ def cosine_beta_schedule(n: int, s: float = 0.008) -> jnp.ndarray:
     alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
     betas = 1 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
     betas_clipped = np.clip(betas, 0, 0.999)
-    return append_zero(jnp.asarray(np.flip(betas_clipped).copy(), dtype=jnp.float32))
+    return append_zero(np.flip(betas_clipped).copy())
 
 
-def get_sigmas_ve(n: int, sigma_min: float = 0.02, sigma_max: float = 100.0) -> jnp.ndarray:
+def get_sigmas_ve(n: int, sigma_min: float = 0.02, sigma_max: float = 100.0) -> np.ndarray:
     """Variance-exploding schedule (gc_sampling.py:61-68)."""
     t = np.linspace(0, n + 1, n)
     t = (sigma_max ** 2) * ((sigma_min ** 2 / sigma_max ** 2) ** (t / (n - 1)))
-    return append_zero(jnp.asarray(np.sqrt(t), dtype=jnp.float32))
+    return append_zero(np.sqrt(t))
 
 
 def get_iddpm_sigmas(
@@ -74,7 +79,7 @@ def get_iddpm_sigmas(
     j_0: int = 0,
     C_1: float = 0.001,
     C_2: float = 0.008,
-) -> jnp.ndarray:
+) -> np.ndarray:
     """iDDPM-style discretized schedule (gc_sampling.py:71-81)."""
     step_indices = np.arange(n, dtype=np.float64)
     u = np.zeros(M + 1, dtype=np.float64)
@@ -86,21 +91,21 @@ def get_iddpm_sigmas(
         u[j - 1] = np.sqrt((u[j] ** 2 + 1) / max(alpha_bar(j - 1) / alpha_bar(j), C_1) - 1)
     u_filtered = u[np.logical_and(u >= sigma_min, u <= sigma_max)]
     sigmas = u_filtered[np.round((len(u_filtered) - 1) / (n - 1) * step_indices).astype(np.int64)]
-    return append_zero(jnp.asarray(sigmas, dtype=jnp.float32))
+    return append_zero(sigmas)
 
 
-def get_sigmas_vp(n: int, beta_d: float = 19.9, beta_min: float = 0.1, eps_s: float = 1e-3) -> jnp.ndarray:
+def get_sigmas_vp(n: int, beta_d: float = 19.9, beta_min: float = 0.1, eps_s: float = 1e-3) -> np.ndarray:
     """Variance-preserving continuous schedule (gc_sampling.py:84-88)."""
     t = np.linspace(1, eps_s, n)
     sigmas = np.sqrt(np.exp(beta_d * t ** 2 / 2 + beta_min * t) - 1)
-    return append_zero(jnp.asarray(sigmas, dtype=jnp.float32))
+    return append_zero(sigmas)
 
 
-def get_sigmas_polyexponential(n: int, sigma_min: float, sigma_max: float, rho: float = 1.0) -> jnp.ndarray:
+def get_sigmas_polyexponential(n: int, sigma_min: float, sigma_max: float, rho: float = 1.0) -> np.ndarray:
     """Polynomial-in-log-sigma schedule (gc_sampling.py:91-95)."""
     ramp = np.linspace(1, 0, n) ** rho
     sigmas = np.exp(ramp * (math.log(sigma_max) - math.log(sigma_min)) + math.log(sigma_min))
-    return append_zero(jnp.asarray(sigmas, dtype=jnp.float32))
+    return append_zero(sigmas)
 
 
 _SCHEDULES = {
@@ -120,7 +125,7 @@ def get_noise_schedule(
     sigma_max: float,
     rho: float = 7.0,
     schedule_type: str = "exponential",
-) -> jnp.ndarray:
+) -> np.ndarray:
     """Named schedule dispatch mirroring BesoAgent.get_noise_schedule
     (beso_agent.py:580-598)."""
     try:

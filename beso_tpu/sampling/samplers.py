@@ -272,9 +272,14 @@ def sample_lms(denoise_fn: DenoiseFn, x, sigmas, key=None, *, order: int = 4,
     """Linear multistep sampler (gc_sampling.py:432-468). The Lagrange-basis
     integrals over the sigma grid are baked in as compile-time constants."""
     n = len(sigmas) - 1
-    coeffs = jnp.asarray(
-        lms_coefficient_matrix(np.asarray(jax.device_get(sigmas)), order),
-        dtype=x.dtype)
+    if isinstance(sigmas, jax.core.Tracer):
+        raise TypeError(
+            "sample_lms needs a HOST sigma grid (numpy) to precompute the "
+            "multistep quadrature coefficients; build it with "
+            "beso_tpu.core.schedules (which returns numpy) outside any "
+            "traced value flow.")
+    coeffs = jnp.asarray(lms_coefficient_matrix(np.asarray(sigmas), order),
+                         dtype=x.dtype)
     ds0 = jnp.zeros((order,) + x.shape, dtype=x.dtype)
 
     def body(carry, inp):
