@@ -80,7 +80,8 @@ class BlockPushWorkspace(BaseWorkspace):
 
     def _policy_cfg(self, agent, new_sampler_type=None, n_inference_steps=None,
                     noise_scheduler=None, cond_lambda=None, get_mean=None,
-                    aggregation=None):
+                    aggregation=None, extra_args=None):
+        extra_args = extra_args or {}
         return agent.policy_config(
             sampler_type=new_sampler_type,
             num_sampling_steps=n_inference_steps,
@@ -88,6 +89,8 @@ class BlockPushWorkspace(BaseWorkspace):
             cond_lambda=cond_lambda,
             n_action_samples=get_mean,
             aggregation=aggregation,
+            s_churn=extra_args.get("s_churn"),
+            s_tmin=extra_args.get("s_min"),
         )
 
     def test_agent(self, agent, evaluate_multigoal: bool = True,
@@ -96,7 +99,7 @@ class BlockPushWorkspace(BaseWorkspace):
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         frames, expected = block_push_goal_frames(
             self.full_data, self.eval_n_times, self.seed, self.train_fraction)
-        cfg = self._policy_cfg(agent, **overrides)
+        cfg = self._policy_cfg(agent, extra_args=extra_args, **overrides)
         denoise = agent.make_denoise_fn()
         metrics = jax.jit(
             lambda k: rollout_block_push(

@@ -72,7 +72,8 @@ class FrankaKitchenWorkspace(BaseWorkspace):
     # -- evaluation ----------------------------------------------------------
     def _policy_cfg(self, agent, new_sampler_type=None, n_inference_steps=None,
                     noise_scheduler=None, cond_lambda=None, get_mean=None,
-                    aggregation=None):
+                    aggregation=None, extra_args=None):
+        extra_args = extra_args or {}
         return agent.policy_config(
             sampler_type=new_sampler_type,
             num_sampling_steps=n_inference_steps,
@@ -80,6 +81,8 @@ class FrankaKitchenWorkspace(BaseWorkspace):
             cond_lambda=cond_lambda,
             n_action_samples=get_mean,
             aggregation=aggregation,
+            s_churn=extra_args.get("s_churn"),
+            s_tmin=extra_args.get("s_min"),
         )
 
     def test_agent(self, agent, evaluate_multigoal: bool = True,
@@ -107,7 +110,7 @@ class FrankaKitchenWorkspace(BaseWorkspace):
         goals, expected = multigoal_kitchen_goals(
             self.full_data, self.goal_seq_len, self.eval_n_times,
             self.seed, self.train_fraction)
-        cfg = self._policy_cfg(agent, **overrides)
+        cfg = self._policy_cfg(agent, extra_args=extra_args, **overrides)
         denoise = agent.make_denoise_fn()
         metrics = jax.jit(
             lambda k: rollout_kitchen(denoise, agent.scaler, cfg,
@@ -123,7 +126,7 @@ class FrankaKitchenWorkspace(BaseWorkspace):
         goals, timeframes, task_ids, expected = sequential_kitchen_goals(
             self.full_data, self.goal_seq_len, self.eval_n_times, self.seed,
             self.train_fraction)
-        cfg = self._policy_cfg(agent, **overrides)
+        cfg = self._policy_cfg(agent, extra_args=extra_args, **overrides)
         denoise = agent.make_denoise_fn()
         metrics = jax.jit(
             lambda k: rollout_kitchen_sequential(
