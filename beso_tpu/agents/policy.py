@@ -96,7 +96,7 @@ def _kde_select(cands: jnp.ndarray) -> jnp.ndarray:
     h = jnp.maximum(std * n ** (-1.0 / (d + 4)), 1e-6)       # [B, 1, 1]
     diff = cands[:, :, None, :] - cands[:, None, :, :]        # [B, n, n, d]
     sq = jnp.sum(diff ** 2, axis=-1)                          # [B, n, n]
-    dens = jnp.sum(jnp.exp(-0.5 * sq / (h[..., 0] ** 2)), axis=-1)
+    dens = jnp.sum(jnp.exp(-0.5 * sq / (h ** 2)), axis=-1)    # h broadcasts
     best = jnp.argmax(dens, axis=-1)                          # [B]
     return jnp.take_along_axis(cands, best[:, None, None], axis=1)[:, 0]
 
