@@ -24,7 +24,7 @@ simply a second parameter tree (no store/copy_to/restore dance).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

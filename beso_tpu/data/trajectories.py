@@ -24,7 +24,6 @@ import dataclasses
 from pathlib import Path
 from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -9,7 +9,6 @@ full-fidelity round-trip is a flatten -> npz -> unflatten.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Any
 
 import jax

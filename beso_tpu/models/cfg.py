@@ -18,7 +18,7 @@ Also provides classifier *guided* sampling (classifier_free_sampler.py:56-90):
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

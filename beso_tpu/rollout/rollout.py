@@ -21,7 +21,7 @@ Success metrics follow the reference protocol exactly:
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ with the 2D schematic renderer.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

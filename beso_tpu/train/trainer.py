@@ -25,7 +25,7 @@ import dataclasses
 import logging
 import time
 from functools import partial
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
