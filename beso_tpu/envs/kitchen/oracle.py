@@ -4,10 +4,12 @@ NEW capability (the reference has no kitchen oracle — its relay-kitchen data
 came from human teleoperation): a jit-able phase machine that walks a task
 sequence, steering the Panda fingertip to each object handle with
 damped-least-squares differential IK (jacobian of beso_tpu.envs.kitchen.fk)
-and then driving the object joint toward its goal value. Used to synthesize
-kitchen demonstrations (obs 30 / act 9 / onehot 7 labels, the relay-kitchen
-format) for end-to-end training validation, since the public dataset is not
-vendored.
+and then driving the object joint toward its goal value. The kettle task
+operates the real finger DoFs: open on approach, close inside the grasp
+radius, carry, release at the goal (see KitchenParams in envs/kitchen/env).
+Used to synthesize kitchen demonstrations (obs 30 / act 9 / onehot 7 labels,
+the relay-kitchen format) for end-to-end training validation, since the
+public dataset is not vendored.
 """
 
 from __future__ import annotations
@@ -19,15 +21,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from beso_tpu.data.trajectories import TrajectoryData
-from beso_tpu.envs.kitchen.env import (ACT_AMP, CONTROL_DT, DRIVE_DIRS,
-                                       GOAL_VEC, HANDLES, INTERACT_RADIUS,
-                                       PRIMARY, KitchenState, kitchen_obs,
+from beso_tpu.envs.kitchen.env import (ACT_AMP, CONTROL_DT,
+                                       DEFAULT_KITCHEN_PARAMS, GOAL_VEC,
+                                       KITCHEN_BASE_POS, PRIMARY,
+                                       KitchenParams, KitchenState,
+                                       kitchen_handles, kitchen_obs,
                                        kitchen_reset, kitchen_step)
 from beso_tpu.envs.kitchen.fk import panda_fk
 
 REACH_SPEED = 0.08      # m per control step while approaching
 MANIP_SPEED = 0.05      # m per control step while manipulating
-
+CORR_BLEND = 0.8        # handle re-centering strength during manipulation
 
 TASK_BUDGET = 70  # steps before the oracle gives up on a stuck task
 
@@ -50,45 +54,62 @@ def oracle_reset() -> KitchenOracleCarry:
 
 
 def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
-                          task_seq: jnp.ndarray
+                          task_seq: jnp.ndarray,
+                          params: KitchenParams = DEFAULT_KITCHEN_PARAMS,
                           ) -> Tuple[jnp.ndarray, KitchenOracleCarry]:
     """One scripted step for a SINGLE env (vmap for batches)."""
     ptr = jnp.minimum(carry.task_ptr, 3)
     task = jnp.maximum(task_seq[ptr], 0)
     active = (task_seq[ptr] >= 0) & (carry.task_ptr < 4)
+    is_kettle = task == 6
 
     ee = state.ee_pos
-    handles = HANDLES.at[6].set(state.qpos[23:26])  # kettle handle tracks it
+    handles = kitchen_handles(state.qpos, params)  # handles ride their doors
     handle = handles[task]
-    near = jnp.linalg.norm(ee - handle) < INTERACT_RADIUS * 0.7
+    dist = jnp.linalg.norm(ee - handle)
+    near = dist < jnp.where(is_kettle, params.grasp_radius * 0.7,
+                            params.interact_radius * 0.7)
 
-    # desired fingertip displacement
+    # desired fingertip displacement while approaching
     reach_vec = handle - ee
     reach_d = jnp.linalg.norm(reach_vec)
     reach_dx = reach_vec / jnp.maximum(reach_d, 1e-9) * jnp.minimum(
         reach_d, REACH_SPEED)
-    # manipulation: drive the fingertip along +-drive_dir so the primary
-    # joint moves TOWARD its goal value; the kettle (task 6) tracks its goal
-    # position directly
+
+    # manipulation: push along +-drive_dir so the primary joint moves TOWARD
+    # its goal, BLENDED with a re-centering pull to the handle so the
+    # fingertip orbits inside the contact radius instead of drifting out
     q_primary = state.qpos[PRIMARY[task]]
     goal_primary = GOAL_VEC[PRIMARY[task]]
     sign = jnp.sign(goal_primary - q_primary)
-    manip_dx = DRIVE_DIRS[task] * sign * MANIP_SPEED
-    kettle_vec = GOAL_VEC[23:26] - state.qpos[23:26]
-    kettle_dx = kettle_vec / jnp.maximum(jnp.linalg.norm(kettle_vec), 1e-9) \
-        * jnp.minimum(jnp.linalg.norm(kettle_vec), MANIP_SPEED)
-    manip_dx = jnp.where(task == 6, kettle_dx, manip_dx)
+    raw = params.drive_dirs[task] * sign + CORR_BLEND * reach_vec
+    manip_dx = raw / jnp.maximum(jnp.linalg.norm(raw), 1e-9) * MANIP_SPEED
 
-    dx = jnp.where(near, manip_dx, reach_dx)
+    # kettle: once grasped, carry it straight to its goal position
+    kettle_vec = GOAL_VEC[23:26] - state.qpos[23:26]
+    kettle_d = jnp.linalg.norm(kettle_vec)
+    kettle_dx = kettle_vec / jnp.maximum(kettle_d, 1e-9) * jnp.minimum(
+        kettle_d, MANIP_SPEED)
+    # until the grasp latches, hold still at the handle (close the fingers)
+    kettle_dx = jnp.where(state.kettle_grasped, kettle_dx, 0.0)
+    manip_dx = jnp.where(is_kettle, kettle_dx, manip_dx)
+
+    dx = jnp.where(near | (is_kettle & state.kettle_grasped), manip_dx, reach_dx)
     dx = jnp.where(active, dx, jnp.zeros(3))
 
     # differential IK: joint velocities from the fingertip jacobian
-    from beso_tpu.envs.kitchen.env import KITCHEN_BASE_POS
     J = jax.jacfwd(lambda q: panda_fk(q, KITCHEN_BASE_POS))(state.qpos[:7])
     H = J @ J.T + 1e-4 * jnp.eye(3)
     dq = J.T @ jnp.linalg.solve(H, dx)
     action7 = dq / (ACT_AMP * CONTROL_DT)
-    action = jnp.clip(jnp.concatenate([action7, jnp.zeros(2)]), -1.0, 1.0)
+
+    # fingers: close at the kettle handle (until done carrying), open
+    # everywhere else so no accidental grasp happens in transit
+    kettle_done = state.completed[6]
+    close = is_kettle & near & ~kettle_done & active
+    finger_act = jnp.where(close, -1.0, 1.0)
+    action = jnp.clip(jnp.concatenate([action7, jnp.full((2,), finger_act)]),
+                      -1.0, 1.0)
 
     task_done = state.completed[task] & active
     timed_out = carry.task_steps >= TASK_BUDGET
@@ -99,10 +120,11 @@ def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
 
 
 def rollout_kitchen_oracle(key, n_steps: int = 280, n_tasks: int = 4,
-                           action_noise: float = 0.0):
+                           action_noise: float = 0.0,
+                           params: KitchenParams = DEFAULT_KITCHEN_PARAMS):
     """Single oracle episode: (obs [T,30], act [T,9], completed [7],
-    completion_order [7]). `action_noise` jitters the executed+recorded
-    actions so demos cover recovery states (see block_push oracle)."""
+    completion_order [7], task_seq [4]). `action_noise` jitters the
+    executed+recorded actions so demos cover recovery states."""
     k_seq, k_noise = jax.random.split(key)
     task_seq = sample_task_sequence(k_seq, n_tasks)
     env = kitchen_reset(key)
@@ -111,26 +133,28 @@ def rollout_kitchen_oracle(key, n_steps: int = 280, n_tasks: int = 4,
     def body(c, k):
         env, oc = c
         obs = kitchen_obs(env)
-        action, oc = kitchen_oracle_policy(env, oc, task_seq)
+        action, oc = kitchen_oracle_policy(env, oc, task_seq, params)
         if action_noise > 0:
             action = jnp.clip(action + jax.random.normal(k, (9,)) * action_noise,
                               -1.0, 1.0)
-        env, _, _, _ = kitchen_step(env, action)
+        env, _, _, _ = kitchen_step(env, action, params)
         return (env, oc), (obs, action)
 
     (env, _), (obs, act) = jax.lax.scan(body, (env, carry),
                                         jax.random.split(k_noise, n_steps))
-    return obs, act, env.completed, env.completion_order
+    return obs, act, env.completed, env.completion_order, task_seq
 
 
 def generate_kitchen_demonstrations(key, n_episodes: int = 64,
                                     n_steps: int = 280, n_tasks: int = 4,
-                                    action_noise: float = 0.02
+                                    action_noise: float = 0.02,
+                                    params: KitchenParams = DEFAULT_KITCHEN_PARAMS,
                                     ) -> TrajectoryData:
     """Relay-kitchen-format demos: onehot label row at each completion frame."""
     keys = jax.random.split(key, n_episodes)
-    obs, act, completed, order = jax.vmap(
-        lambda k: rollout_kitchen_oracle(k, n_steps, n_tasks, action_noise))(keys)
+    obs, act, completed, order, _ = jax.vmap(
+        lambda k: rollout_kitchen_oracle(k, n_steps, n_tasks, action_noise,
+                                         params))(keys)
     obs, act = np.asarray(obs), np.asarray(act)
     completed, order = np.asarray(completed), np.asarray(order)
     onehot = np.zeros((n_episodes, n_steps, 7), np.float32)

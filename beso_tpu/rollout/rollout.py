@@ -39,6 +39,10 @@ class RolloutMetrics(NamedTuple):
     results: jnp.ndarray      # [B] conditional success metric
     completed: jnp.ndarray    # [B, n_tasks] bool
     env_steps: jnp.ndarray    # [] total env steps executed (B * T)
+    completion_order: jnp.ndarray  # [B, n_tasks] int32 completion step, -1 if
+    #                                never completed (feeds the kitchen
+    #                                trajectory census + task-transition tree,
+    #                                kitchen_workspace_manager.py:564-570)
 
 
 def average_success_metric(results: np.ndarray) -> float:
@@ -65,10 +69,14 @@ def _run_rollout(reset_fn, step_fn, obs_fn, n_tasks, completed_of,
                  denoise_fn, scaler: Scaler, cfg: PolicyConfig,
                  goals, expected: jnp.ndarray, key,
                  n_steps: int, obs_slice: Optional[int],
-                 result_divisor: float) -> RolloutMetrics:
+                 result_divisor: float, order_of=None,
+                 reset_batch=None) -> RolloutMetrics:
     B = expected.shape[0]
     k_reset, k_roll = jax.random.split(key)
-    env_state = jax.vmap(reset_fn)(jax.random.split(k_reset, B))
+    if reset_batch is not None:  # e.g. known-start kitchen evaluation
+        env_state = reset_batch(k_reset)
+    else:
+        env_state = jax.vmap(reset_fn)(jax.random.split(k_reset, B))
     obs0_full = jax.vmap(obs_fn)(env_state)
     if callable(goals):
         goals = goals(obs0_full)  # live-state-dependent goals (flip fix)
@@ -89,21 +97,49 @@ def _run_rollout(reset_fn, step_fn, obs_fn, n_tasks, completed_of,
 
     completed = completed_of(env_state)
     results = jnp.sum(completed & expected.astype(bool), axis=-1) / result_divisor
+    order = (order_of(env_state) if order_of is not None
+             else jnp.full(completed.shape, -1, jnp.int32))
     return RolloutMetrics(rewards=total_reward, results=results,
                           completed=completed,
-                          env_steps=jnp.asarray(B * n_steps))
+                          env_steps=jnp.asarray(B * n_steps),
+                          completion_order=order)
 
 
 def rollout_kitchen(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
                     goals: jnp.ndarray,      # [B, G, 30] dataset-tail goals
                     expected: jnp.ndarray,   # [B, 7] expected-task masks
-                    key, n_steps: int = 280) -> RolloutMetrics:
+                    key, n_steps: int = 280,
+                    physics_params=None,
+                    init_qpos: Optional[jnp.ndarray] = None) -> RolloutMetrics:
     """Batched multigoal kitchen evaluation
-    (kitchen_workspace_manager.py:213-316: 100 episodes x 280 steps)."""
+    (kitchen_workspace_manager.py:213-316: 100 episodes x 280 steps).
+
+    `physics_params`: optional KitchenParams override — evaluate under
+    perturbed surrogate physics (robustness protocol, envs/kitchen/env.py).
+    `init_qpos`: optional [B, 30] known start states, one per episode — the
+    reference's `_start_from_known` path
+    (kitchen_workspace_manager.py:500-525)."""
+    from beso_tpu.envs.kitchen.env import (DEFAULT_KITCHEN_PARAMS,
+                                           kitchen_reset_from_qpos)
+
+    params = (physics_params if physics_params is not None
+              else DEFAULT_KITCHEN_PARAMS)
+    reset_fn, reset_batch = kitchen_reset, None
+    if init_qpos is not None:
+        init_qpos = jnp.asarray(init_qpos)
+        assert init_qpos.shape[0] == expected.shape[0], \
+            "init_qpos must provide one start state per episode"
+
+        def reset_batch(key):  # deterministic per-episode known starts
+            del key
+            return jax.vmap(kitchen_reset_from_qpos)(init_qpos)
+
+    step_fn = lambda s, a: kitchen_step(s, a, params)  # noqa: E731
     return _run_rollout(
-        kitchen_reset, kitchen_step, kitchen_obs, 7,
+        reset_fn, step_fn, kitchen_obs, 7,
         lambda s: s.completed, denoise_fn, scaler, cfg, goals, expected, key,
-        n_steps, obs_slice=30, result_divisor=1.0)
+        n_steps, obs_slice=30, result_divisor=1.0,
+        order_of=lambda s: s.completion_order, reset_batch=reset_batch)
 
 
 def rollout_block_push(denoise_fn, scaler: Scaler, cfg: PolicyConfig,

@@ -28,7 +28,12 @@ def rollout_kitchen_sequential(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
                                timeframes: jnp.ndarray,  # [B, 4]
                                task_ids: jnp.ndarray,    # [B, 4]
                                expected: jnp.ndarray,    # [B, 7]
-                               key, n_steps: int = 280) -> RolloutMetrics:
+                               key, n_steps: int = 280,
+                               physics_params=None) -> RolloutMetrics:
+    from beso_tpu.envs.kitchen.env import DEFAULT_KITCHEN_PARAMS
+
+    params = (physics_params if physics_params is not None
+              else DEFAULT_KITCHEN_PARAMS)
     B = goals.shape[0]
     k_reset, k_roll = jax.random.split(key)
     env_state = jax.vmap(kitchen_reset)(jax.random.split(k_reset, B))
@@ -49,7 +54,8 @@ def rollout_kitchen_sequential(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
             goals, stage[:, None, None, None], axis=1)[:, 0]   # [B, G, 30]
         action, pstate = policy_predict(denoise_fn, scaler, pstate, obs,
                                         goal, step_key, cfg)
-        env_state, obs_full, reward, done = jax.vmap(kitchen_step)(env_state, action)
+        env_state, obs_full, reward, done = jax.vmap(
+            lambda e, a: kitchen_step(e, a, params))(env_state, action)
         stage_steps = stage_steps + 1
         cur_task = jnp.take_along_axis(task_ids, stage[:, None], axis=1)[:, 0]
         task_done = jnp.take_along_axis(
@@ -70,4 +76,5 @@ def rollout_kitchen_sequential(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
     results = jnp.sum(completed & expected.astype(bool), axis=-1)
     return RolloutMetrics(rewards=total_reward, results=results,
                           completed=completed,
-                          env_steps=jnp.asarray(B * n_steps))
+                          env_steps=jnp.asarray(B * n_steps),
+                          completion_order=env_state.completion_order)

@@ -551,8 +551,15 @@ def sample_loop(
     if sampler_type == "dpmpp_2m":
         return sample_dpmpp_2m(denoise_fn, x, sigmas, key, clip_fn=clip_fn)
     if sampler_type == "dpmpp_2m_sde":
+        # reference-quirk parity: BesoAgent.sample_loop maps this name to the
+        # stochastic dpmpp_sde (beso_agent.py:443-448) because the reference's
+        # own 2M-SDE body is unrunnable. The repaired algorithm is reachable
+        # under the distinct name below.
         return sample_dpmpp_sde(denoise_fn, x, sigmas, key, eta=eta,
                                 clip_fn=clip_fn)
+    if sampler_type == "dpmpp_2m_sde_fixed":
+        return sample_dpmpp_2m_sde(denoise_fn, x, sigmas, key, eta=eta,
+                                   clip_fn=clip_fn)
     if sampler_type == "dpmpp_sde":
         return sample_dpmpp_sde(denoise_fn, x, sigmas, key, eta=eta,
                                 clip_fn=clip_fn)
@@ -562,5 +569,5 @@ def sample_loop(
 SAMPLERS = (
     "lms", "heun", "euler", "ancestral", "euler_ancestral", "dpm", "ddim",
     "dpm_adaptive", "dpm_fast", "dpmpp_2s_ancestral", "dpmpp_2s", "dpmpp_2m",
-    "dpmpp_2m_sde", "dpmpp_sde",
+    "dpmpp_2m_sde", "dpmpp_sde", "dpmpp_2m_sde_fixed",
 )

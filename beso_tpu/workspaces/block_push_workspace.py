@@ -96,6 +96,10 @@ class BlockPushWorkspace(BaseWorkspace):
     def test_agent(self, agent, evaluate_multigoal: bool = True,
                    evaluate_sequential: bool = True, key=None,
                    extra_args=None, log_metrics: bool = True, **overrides):
+        # evaluate_multigoal/evaluate_sequential are accepted and ignored,
+        # matching the reference's own signature quirk ("just for same input
+        # as kitchen environment", block_push_workspace.py:90-99) — block
+        # push has a single eval protocol.
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         frames, expected = block_push_goal_frames(
             self.full_data, self.eval_n_times, self.seed, self.train_fraction)

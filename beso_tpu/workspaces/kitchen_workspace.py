@@ -87,41 +87,66 @@ class FrankaKitchenWorkspace(BaseWorkspace):
 
     def test_agent(self, agent, evaluate_multigoal: bool = True,
                    evaluate_sequential: bool = False, key=None,
-                   extra_args=None, log_metrics: bool = True, **overrides):
+                   extra_args=None, log_metrics: bool = True,
+                   physics_params=None, start_from_known: bool = False,
+                   init_qpos=None, **overrides):
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         mg = seq = None
         if evaluate_multigoal:
             mg = self.test_agent_on_multigoal(agent, key=key,
                                               extra_args=extra_args,
                                               log_metrics=log_metrics,
+                                              physics_params=physics_params,
+                                              start_from_known=start_from_known,
+                                              init_qpos=init_qpos,
                                               **overrides)
         if evaluate_sequential:
             seq = self.test_agent_on_sequential_tasks(agent, key=key,
                                                       extra_args=extra_args,
                                                       log_metrics=log_metrics,
+                                                      physics_params=physics_params,
                                                       **overrides)
         if evaluate_multigoal and evaluate_sequential:
             return mg, seq
         return mg if mg is not None else seq
 
     def test_agent_on_multigoal(self, agent, key=None, extra_args=None,
-                                log_metrics: bool = True, **overrides):
+                                log_metrics: bool = True,
+                                physics_params=None,
+                                start_from_known: bool = False,
+                                init_qpos=None, **overrides):
+        """Multigoal evaluation. `physics_params` evaluates under perturbed
+        surrogate physics (robustness protocol). `start_from_known=True`
+        starts each episode from a known demo configuration — the reference's
+        `_setup_starting_state`/`_start_from_known`
+        (kitchen_workspace_manager.py:500-525): pass `init_qpos` [N, 30]
+        (e.g. from envs.kitchen.env.load_init_qpos) or the dataset's first
+        frames are used."""
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         goals, expected = multigoal_kitchen_goals(
             self.full_data, self.goal_seq_len, self.eval_n_times,
             self.seed, self.train_fraction)
+        starts = None
+        if start_from_known:
+            pool = (np.asarray(init_qpos) if init_qpos is not None
+                    else np.asarray(self.full_data.observations[:, 0, :30]))
+            starts = jnp.asarray(
+                pool[np.arange(self.eval_n_times) % len(pool)])
         cfg = self._policy_cfg(agent, extra_args=extra_args, **overrides)
         denoise = agent.make_denoise_fn()
         metrics = jax.jit(
             lambda k: rollout_kitchen(denoise, agent.scaler, cfg,
                                       jnp.asarray(goals), jnp.asarray(expected),
-                                      k, n_steps=self.eval_n_steps)
+                                      k, n_steps=self.eval_n_steps,
+                                      physics_params=physics_params,
+                                      init_qpos=starts)
         )(key)
         return self.compute_performance(metrics, expected, "multigoal",
                                         log_metrics)
 
     def test_agent_on_sequential_tasks(self, agent, key=None, extra_args=None,
-                                       log_metrics: bool = True, **overrides):
+                                       log_metrics: bool = True,
+                                       physics_params=None, **overrides):
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         goals, timeframes, task_ids, expected = sequential_kitchen_goals(
             self.full_data, self.goal_seq_len, self.eval_n_times, self.seed,
@@ -132,7 +157,8 @@ class FrankaKitchenWorkspace(BaseWorkspace):
             lambda k: rollout_kitchen_sequential(
                 denoise, agent.scaler, cfg, jnp.asarray(goals),
                 jnp.asarray(timeframes), jnp.asarray(task_ids),
-                jnp.asarray(expected), k, n_steps=self.eval_n_steps)
+                jnp.asarray(expected), k, n_steps=self.eval_n_steps,
+                physics_params=physics_params)
         )(key)
         return self.compute_performance(metrics, expected, "sequential",
                                         log_metrics)
@@ -176,16 +202,18 @@ class FrankaKitchenWorkspace(BaseWorkspace):
 
     @staticmethod
     def trajectory_census(metrics) -> dict:
-        """Counts of completed-task sequences, ordered by completion step
-        (kitchen_workspace_manager.py:564-570)."""
+        """Counts of completed-task sequences keyed in COMPLETION ORDER —
+        the reference census key is ', '.join(all_completions) in the order
+        tasks were finished (kitchen_workspace_manager.py:564-570), which
+        feeds the conditional-probability task tree. Episodes that complete
+        {microwave, kettle} in opposite orders produce distinct keys."""
         completed = np.asarray(metrics.completed)
-        order = np.asarray(metrics.completion_order
-                           if hasattr(metrics, "completion_order") else None)
+        order = np.asarray(metrics.completion_order)
         census: dict = {}
-        # fall back to unordered census when order is unavailable
         for b in range(completed.shape[0]):
-            tasks = [ALL_TASKS[i] for i in range(7) if completed[b, i]]
-            key = ", ".join(tasks)
+            done_idx = [i for i in range(completed.shape[1]) if completed[b, i]]
+            done_idx.sort(key=lambda i: int(order[b, i]))
+            key = ", ".join(ALL_TASKS[i] for i in done_idx)
             census[key] = census.get(key, 0) + 1
         return census
 

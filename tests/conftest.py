@@ -16,3 +16,29 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+# Modules dominated by compile-heavy E2E/workspace/training paths. Marked
+# `slow` wholesale so `pytest -m "not slow"` gives a <2 min inner loop while
+# the full suite stays under the 10 min CPU budget (run it before committing).
+SLOW_TEST_MODULES = {
+    "test_determinism",
+    "test_extras",
+    "test_fused_train",
+    "test_kitchen_oracle",
+    "test_models",
+    "test_parallel",
+    "test_reference_parity",
+    "test_rollout",
+    "test_studies",
+    "test_train",
+    "test_video_metrics",
+    "test_workspaces",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_TEST_MODULES:
+            item.add_marker(pytest.mark.slow)

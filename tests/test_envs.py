@@ -240,3 +240,85 @@ class TestGoalFns:
         order = demo_task_order(data, 8, seed=6)
         assert order.shape == (8, 4)
         assert ((order >= -1) & (order < 4)).all()
+
+
+class TestKitchenPhysicsV1:
+    """Surrogate v1 semantics: gripper-latched kettle grasp, fingertip
+    collision, door-tracking handles, parameterized physics."""
+
+    def _run_oracle_kettle(self, force_fingers_open: bool, n_steps: int = 120):
+        from beso_tpu.envs.kitchen.oracle import (kitchen_oracle_policy,
+                                                  oracle_reset)
+
+        env = kitchen_reset(jax.random.PRNGKey(0))
+        carry = oracle_reset()
+        seq = jnp.asarray([6, -1, -1, -1], jnp.int32)  # kettle only
+        step = jax.jit(lambda e, a: kitchen_step(e, a))
+        pol = jax.jit(lambda e, c: kitchen_oracle_policy(e, c, seq))
+        for _ in range(n_steps):
+            a, carry = pol(env, carry)
+            if force_fingers_open:
+                a = a.at[7:9].set(1.0)
+            env, _, _, _ = step(env, a)
+        return env
+
+    def test_kettle_needs_closed_gripper(self):
+        """With the fingers forced open the kettle must never move — the
+        round-1 teleport-grasp (any nearby fingertip dragged it) is gone."""
+        env_open = self._run_oracle_kettle(force_fingers_open=True)
+        np.testing.assert_allclose(np.asarray(env_open.qpos[23:26]),
+                                   np.asarray(INIT_QPOS[23:26]), atol=1e-5)
+        assert not bool(env_open.kettle_grasped)
+        assert not bool(env_open.completed[6])
+
+    def test_kettle_grasp_carries_to_goal(self):
+        env = self._run_oracle_kettle(force_fingers_open=False)
+        assert bool(env.completed[6]), "oracle failed to carry the kettle"
+
+    def test_wall_blocks_fingertip(self):
+        """Pushing straight at the cabinet face must stop at the wall plane
+        instead of passing through the furniture."""
+        from beso_tpu.envs.kitchen.env import (DEFAULT_KITCHEN_PARAMS,
+                                               KITCHEN_BASE_POS)
+        from beso_tpu.envs.kitchen.fk import panda_fk
+
+        env = kitchen_reset(jax.random.PRNGKey(0))
+        step = jax.jit(lambda e, a: kitchen_step(e, a))
+        wall_y = float(DEFAULT_KITCHEN_PARAMS.wall_y)
+        max_y = -np.inf
+        for _ in range(60):
+            J = jax.jacfwd(lambda q: panda_fk(q, KITCHEN_BASE_POS))(env.qpos[:7])
+            H = J @ J.T + 1e-4 * jnp.eye(3)
+            dq = J.T @ jnp.linalg.solve(H, jnp.asarray([0.0, 0.08, 0.0]))
+            a = jnp.clip(jnp.concatenate([dq / 0.16, jnp.zeros(2)]), -1, 1)
+            env, _, _, _ = step(env, a)
+            max_y = max(max_y, float(env.ee_pos[1]))
+        assert max_y <= wall_y + 1e-5, f"fingertip penetrated wall: y={max_y}"
+
+    def test_handles_track_doors(self):
+        """A handle must ride its door: q_primary/gain along the drive dir
+        (sustained-contact contract of the v1 surrogate)."""
+        from beso_tpu.envs.kitchen.env import (DEFAULT_KITCHEN_PARAMS,
+                                               kitchen_handles)
+
+        P = DEFAULT_KITCHEN_PARAMS
+        base = kitchen_handles(INIT_QPOS, P)
+        q = INIT_QPOS.at[21].set(1.0)  # hinge cabinet primary joint
+        moved = kitchen_handles(q, P)
+        dq = 1.0 - float(INIT_QPOS[21])
+        want = np.asarray(base[4]) + np.asarray(P.drive_dirs[4]) * (
+            dq / float(P.drive_gain[4]))
+        np.testing.assert_allclose(np.asarray(moved[4]), want, atol=1e-5)
+        # other handles unaffected
+        np.testing.assert_allclose(np.asarray(moved[3]), np.asarray(base[3]),
+                                   atol=1e-5)
+
+    def test_perturb_params(self):
+        from beso_tpu.envs.kitchen.env import (DEFAULT_KITCHEN_PARAMS,
+                                               perturb_kitchen_params)
+
+        P = perturb_kitchen_params(gain_scale=1.2, radius_scale=0.8)
+        np.testing.assert_allclose(np.asarray(P.drive_gain),
+                                   np.asarray(DEFAULT_KITCHEN_PARAMS.drive_gain) * 1.2)
+        assert float(P.interact_radius) == pytest.approx(
+            float(DEFAULT_KITCHEN_PARAMS.interact_radius) * 0.8)

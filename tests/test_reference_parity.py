@@ -68,7 +68,9 @@ def _install_reference():
     if not hasattr(tu, "_accumulate"):  # removed in newer torch
         tu._accumulate = lambda it: itertools.accumulate(it)
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        # append (not prepend): the reference also has a top-level scripts/
+        # dir that would otherwise shadow the repo's `scripts` package
+        sys.path.append(REF)
 
 
 _install_reference()

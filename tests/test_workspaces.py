@@ -1,6 +1,7 @@
 """Workspace + config-system + CLI integration tests (synthetic data, tiny)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -112,3 +113,80 @@ class TestCLIs:
                        f"model_store_path={run_dir}", "num_runs=2",
                        "num_steps_per_run=2", "sigma_min=0.05"])
         assert "avrg_result" in out
+
+
+class TestCompletionOrderedCensus:
+    def test_opposite_orders_are_distinct_keys(self):
+        """Two episodes completing {microwave, kettle} in opposite orders
+        must produce two distinct census keys — the reference keys its
+        census by COMPLETION order (kitchen_workspace_manager.py:564-570)."""
+        from beso_tpu.rollout.rollout import RolloutMetrics
+        from beso_tpu.workspaces.kitchen_workspace import FrankaKitchenWorkspace
+
+        completed = np.zeros((2, 7), bool)
+        completed[:, 5] = True  # microwave
+        completed[:, 6] = True  # kettle
+        order = np.full((2, 7), -1, np.int32)
+        order[0, 5], order[0, 6] = 10, 50   # microwave first
+        order[1, 5], order[1, 6] = 90, 20   # kettle first
+        metrics = RolloutMetrics(
+            rewards=jnp.zeros(2), results=jnp.zeros(2),
+            completed=jnp.asarray(completed), env_steps=jnp.asarray(0),
+            completion_order=jnp.asarray(order))
+        census = FrankaKitchenWorkspace.trajectory_census(metrics)
+        assert census == {"microwave, kettle": 1, "kettle, microwave": 1}
+
+    def test_rollout_reports_completion_order(self):
+        """The fused rollout must carry per-task completion steps out of the
+        env (round-1 gap: RolloutMetrics dropped the order)."""
+        from beso_tpu.data import synthetic_kitchen_data
+        from beso_tpu.envs.kitchen.goals import multigoal_kitchen_goals
+        from beso_tpu.agents.policy import PolicyConfig
+        from beso_tpu.rollout import rollout_kitchen
+        from beso_tpu.models import fit_scaler
+
+        data = synthetic_kitchen_data(n_traj=6, t_max=30)
+        scaler = fit_scaler(data.all_observations(), data.all_actions())
+        goals, expected = multigoal_kitchen_goals(data, 2, 4, seed=0)
+        cfg = PolicyConfig(window_size=2, obs_dim=30, action_dim=9,
+                           num_sampling_steps=2)
+
+        def denoise(s, a, g, sig):  # trivial stand-in policy
+            return jnp.zeros_like(a)
+
+        m = rollout_kitchen(denoise, scaler, cfg, jnp.asarray(goals),
+                            jnp.asarray(expected), jax.random.PRNGKey(0),
+                            n_steps=3)
+        assert m.completion_order.shape == (4, 7)
+        # nothing completes under a zero policy in 3 steps -> all -1
+        assert (np.asarray(m.completion_order) == -1).all()
+
+    def test_known_start_and_perturbed_physics(self):
+        """start_from_known pins episode starts to given qpos rows; perturbed
+        physics_params flow through the jitted rollout."""
+        from beso_tpu.agents.policy import PolicyConfig
+        from beso_tpu.data import synthetic_kitchen_data
+        from beso_tpu.envs.kitchen.env import (INIT_QPOS,
+                                               perturb_kitchen_params)
+        from beso_tpu.envs.kitchen.goals import multigoal_kitchen_goals
+        from beso_tpu.models import fit_scaler
+        from beso_tpu.rollout import rollout_kitchen
+
+        data = synthetic_kitchen_data(n_traj=6, t_max=30)
+        scaler = fit_scaler(data.all_observations(), data.all_actions())
+        goals, expected = multigoal_kitchen_goals(data, 2, 3, seed=0)
+        cfg = PolicyConfig(window_size=2, obs_dim=30, action_dim=9,
+                           num_sampling_steps=2)
+        starts = jnp.tile(INIT_QPOS[None], (3, 1)).at[:, 0].add(
+            jnp.asarray([0.0, 0.05, -0.05]))
+
+        def denoise(s, a, g, sig):
+            return jnp.zeros_like(a)
+
+        m = rollout_kitchen(denoise, scaler, cfg, jnp.asarray(goals),
+                            jnp.asarray(expected), jax.random.PRNGKey(0),
+                            n_steps=2,
+                            physics_params=perturb_kitchen_params(
+                                gain_scale=0.8, radius_scale=1.2),
+                            init_qpos=starts)
+        assert np.isfinite(np.asarray(m.rewards)).all()
