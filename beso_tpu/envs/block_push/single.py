@@ -33,6 +33,16 @@ from beso_tpu.envs.block_push.env import (EFFECTOR_START, WORKSPACE_BOUNDS,
 
 GOAL_DIST_TOLERANCE = 0.01  # block_pushing.py:193
 
+# INSERT task (block_pushing.py:170,370-371,1023): the target is a slotted
+# fixture (insert.urdf) — the block can only enter along the slot's opening
+# axis. The surrogate gates entry: inside SLOT_RADIUS of the target, the
+# block is held out at the rim unless its bearing from the target is within
+# SLOT_HALF_ANGLE of the slot opening (target yaw direction).
+SLOT_RADIUS = 0.05
+SLOT_HALF_ANGLE = jnp.pi / 5
+SLOT_INNER = 0.02   # slot interior: once inside (only reachable through the
+#                     opening) the block sits in the fixture unconstrained
+
 
 class SingleBlockPushState(NamedTuple):
     effector: jnp.ndarray
@@ -90,6 +100,21 @@ def single_block_push_step(state: SingleBlockPushState, action: jnp.ndarray,
     tgt = jnp.clip(state.effector_target + action,
                    WORKSPACE_BOUNDS[0], WORKSPACE_BOUNDS[1])
 
+    def _slot_gate(bpos):
+        """INSERT slot walls: hold the block at the rim unless its bearing
+        from the target aligns with the slot opening (the insert.urdf
+        fixture's behavioral difference). Applied per SUBSTEP so the block
+        cannot tunnel through the fixture within one control step."""
+        to_block = bpos - state.target_pos
+        dist = jnp.linalg.norm(to_block)
+        bearing = jnp.arctan2(to_block[1], to_block[0])
+        opening = state.target_yaw  # slot opens along the target yaw
+        mis = jnp.abs(jnp.mod(bearing - opening + jnp.pi, 2 * jnp.pi) - jnp.pi)
+        blocked = ((dist < SLOT_RADIUS) & (dist > SLOT_INNER)
+                   & (mis > SLOT_HALF_ANGLE))
+        rim = state.target_pos + to_block / jnp.maximum(dist, 1e-9) * SLOT_RADIUS
+        return jnp.where(blocked, rim, bpos)
+
     def substep(carry, _):
         eff, bpos, byaw = carry
         to_tgt = tgt - eff
@@ -97,6 +122,8 @@ def single_block_push_step(state: SingleBlockPushState, action: jnp.ndarray,
         step_len = jnp.minimum(d, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
         eff = eff + to_tgt / jnp.maximum(d, 1e-9) * step_len
         bpos, byaw = _push_block(bpos, byaw, eff, EFFECTOR_RADIUS)
+        if task == "INSERT":
+            bpos = _slot_gate(bpos)
         return (eff, bpos, byaw), None
 
     (eff, bpos, byaw), _ = jax.lax.scan(

@@ -5,13 +5,25 @@ Functional parity target: the gym registrations of
 `beso/envs/block_pushing/block_pushing.py:1020-1097` +
 `block_pushing_multimodal.py:706-730` (12 block-push ids). Instead of gym's
 global registry, `make(env_id)` returns a functional (reset_fn, step_fn,
-obs_fn, episode_steps) bundle; every env is batched via vmap by the caller.
+obs_fn, episode_steps, render_fn) bundle; every env is batched via vmap by
+the caller.
+
+Variant semantics (each id is behaviorally distinct, not an alias):
+* `*Normalized-v0`: observations mapped to [-1, 1] over the workspace
+  ranges and actions taken in [-1, 1] (denormalized to the +-0.1 delta-xy
+  range inside step), per the reference's BlockPushNormalized wrapper
+  (block_pushing.py:790-1003).
+* `BlockInsert*`: the slotted-target INSERT task (block_pushing.py:170,
+  370-371): the block only enters the target region along the slot opening.
+* `*Rgb-v0`: ships a host-side `render_fn(state) -> uint8 RGB` (the
+  schematic replacement for the reference's GL camera,
+  block_pushing.py:604-679).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 
 class EnvSpec(NamedTuple):
@@ -19,6 +31,7 @@ class EnvSpec(NamedTuple):
     step_fn: Callable
     obs_fn: Callable
     max_episode_steps: int
+    render_fn: Optional[Callable] = None
 
 
 def _kitchen_spec(task_mask=None, steps=280) -> EnvSpec:
@@ -29,23 +42,44 @@ def _kitchen_spec(task_mask=None, steps=280) -> EnvSpec:
                    kitchen_obs, steps)
 
 
-def _multimodal_spec(steps=350, horizontal=False) -> EnvSpec:
+def _multimodal_spec(steps=350, horizontal=False, rgb=False) -> EnvSpec:
     from beso_tpu.envs.block_push.env import (block_push_obs,
                                               block_push_reset,
                                               block_push_step)
 
+    render_fn = None
+    if rgb:
+        from beso_tpu.envs.block_push.render import render_frame
+        render_fn = render_frame
     return EnvSpec(partial(block_push_reset, horizontal=horizontal),
-                   block_push_step, block_push_obs, steps)
+                   block_push_step, block_push_obs, steps, render_fn)
 
 
-def _single_spec(task: str, steps=100) -> EnvSpec:
-    from beso_tpu.envs.block_push.single import (single_block_push_obs,
+def _single_spec(task: str, steps=100, normalized=False, rgb=False) -> EnvSpec:
+    from beso_tpu.envs.block_push.single import (denormalize_action,
+                                                 normalize_obs,
+                                                 single_block_push_obs,
                                                  single_block_push_reset,
                                                  single_block_push_step)
 
-    return EnvSpec(partial(single_block_push_reset, task=task),
-                   partial(single_block_push_step, task=task),
-                   single_block_push_obs, steps)
+    reset_fn = partial(single_block_push_reset, task=task)
+    step_fn = partial(single_block_push_step, task=task)
+    obs_fn = single_block_push_obs
+    if normalized:
+        raw_step, raw_obs = step_fn, obs_fn
+
+        def obs_fn(state):  # noqa: F811
+            return normalize_obs(raw_obs(state))
+
+        def step_fn(state, action):  # noqa: F811
+            s, obs, r, d = raw_step(state, denormalize_action(action))
+            return s, normalize_obs(obs), r, d
+
+    render_fn = None
+    if rgb:
+        from beso_tpu.envs.block_push.render import render_single_frame
+        render_fn = partial(render_single_frame, task=task)
+    return EnvSpec(reset_fn, step_fn, obs_fn, steps, render_fn)
 
 
 # kitchen task-subset variants (envs/franka_kitchen/v0.py:4-20): the three
@@ -61,17 +95,22 @@ _REGISTRY = {
     **{k: (lambda m=v: _kitchen_spec(m)) for k, v in _KITCHEN_SUBSETS.items()},
     # block push ids (block_pushing.py:1020-1097, multimodal:706-730)
     "BlockPush-v0": lambda: _single_spec("PUSH"),
-    "BlockPushNormalized-v0": lambda: _single_spec("PUSH"),
-    "BlockPushRgb-v0": lambda: _single_spec("PUSH"),
+    "BlockPushNormalized-v0": lambda: _single_spec("PUSH", normalized=True),
+    "BlockPushRgb-v0": lambda: _single_spec("PUSH", rgb=True),
     "BlockReach-v0": lambda: _single_spec("REACH"),
-    "BlockReachNormalized-v0": lambda: _single_spec("REACH"),
-    "BlockReachRgb-v0": lambda: _single_spec("REACH"),
-    "BlockInsert-v0": lambda: _single_spec("PUSH"),
-    "BlockInsertRgb-v0": lambda: _single_spec("PUSH"),
+    "BlockReachNormalized-v0": lambda: _single_spec("REACH", normalized=True),
+    "BlockReachRgb-v0": lambda: _single_spec("REACH", rgb=True),
+    "BlockInsert-v0": lambda: _single_spec("INSERT"),
+    "BlockInsertRgb-v0": lambda: _single_spec("INSERT", rgb=True),
     "BlockPushMultimodal-v0": _multimodal_spec,
-    "BlockPushMultimodalFlipped-v0": _multimodal_spec,
+    # Flipped = the horizontal variant at a 25-step limit
+    # (block_pushing_multimodal.py:713-717)
+    "BlockPushMultimodalFlipped-v0": lambda: _multimodal_spec(
+        steps=25, horizontal=True),
     "BlockPushHorizontalMultimodal-v0": lambda: _multimodal_spec(horizontal=True),
-    "BlockPushMultimodalRgb-v0": _multimodal_spec,
+    "BlockPushMultimodalRgb-v0": lambda: _multimodal_spec(rgb=True),
+    # SHARED_MEMORY connection mode is a pybullet process detail with no
+    # behavioral difference on the JAX side
     "SharedBlockPushMultimodal-v0": _multimodal_spec,
 }
 

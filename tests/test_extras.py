@@ -76,3 +76,77 @@ class TestTfMetricEquivalents:
 
     def test_average_goal_distance(self):
         assert average_final_goal_distance(np.array([0.1, 0.3])) == pytest.approx(0.2)
+
+
+class TestRegistryVariantsBehave:
+    """Every env-id variant must be behaviorally distinct, not an alias
+    (round-1 finding: Normalized/Insert/Rgb ids were aliases of PUSH)."""
+
+    def test_normalized_obs_and_action(self):
+        raw = make("BlockPush-v0")
+        norm = make("BlockPushNormalized-v0")
+        key = jax.random.PRNGKey(0)
+        s_raw, s_norm = raw.reset_fn(key), norm.reset_fn(key)
+        o_raw, o_norm = raw.obs_fn(s_raw), norm.obs_fn(s_norm)
+        # normalized obs live in [-1, 1]; raw workspace coords do not
+        assert float(jnp.abs(o_norm).max()) <= 1.0 + 1e-5
+        assert float(jnp.abs(o_raw).max()) > 1.0 - 1e-5 or \
+            not np.allclose(np.asarray(o_raw), np.asarray(o_norm))
+        # a full-scale normalized action = a 0.1 raw delta
+        _, _, _, _ = norm.step_fn(s_norm, jnp.asarray([1.0, 0.0]))
+        s2n, _, _, _ = norm.step_fn(s_norm, jnp.asarray([1.0, 0.0]))
+        s2r, _, _, _ = raw.step_fn(s_raw, jnp.asarray([0.1, 0.0]))
+        np.testing.assert_allclose(np.asarray(s2n.effector_target),
+                                   np.asarray(s2r.effector_target), atol=1e-6)
+
+    def test_insert_slot_gates_entry(self):
+        """INSERT: a block pushed at the target from a misaligned bearing is
+        held at the slot rim; PUSH lets it straight in."""
+        from beso_tpu.envs.block_push.single import (SLOT_RADIUS,
+                                                     SingleBlockPushState)
+
+        def state_for(task_spec, bearing_offset):
+            s = task_spec.reset_fn(jax.random.PRNGKey(3))
+            # place the block just outside the slot radius, approaching the
+            # target from `bearing_offset` relative to the slot opening,
+            # with the effector directly behind it on the push line
+            opening = float(s.target_yaw)
+            ang = opening + bearing_offset
+            radial = jnp.asarray([jnp.cos(ang), jnp.sin(ang)])
+            start = s.target_pos + radial * (SLOT_RADIUS + 0.01)
+            eff = start + radial * 0.04
+            return s._replace(block_pos=start, effector=eff,
+                              effector_target=eff)
+
+        insert = make("BlockInsert-v0")
+        push = make("BlockPush-v0")
+
+        for spec, task in [(insert, "INSERT"), (push, "PUSH")]:
+            s = state_for(spec, bearing_offset=jnp.pi)  # opposite the opening
+            # drive the effector through the block toward the target
+            for _ in range(30):
+                to_t = s.target_pos - s.effector
+                a = jnp.clip(to_t, -0.1, 0.1)
+                s, _, _, _ = spec.step_fn(s, a)
+            d = float(jnp.linalg.norm(s.block_pos - s.target_pos))
+            if task == "INSERT":
+                assert d >= SLOT_RADIUS - 1e-4, \
+                    f"INSERT let a misaligned block in (d={d:.4f})"
+                d_insert = d
+            else:
+                d_push = d
+        assert d_push < d_insert, "PUSH and INSERT behave identically"
+
+    def test_rgb_ids_render(self):
+        for env_id in ["BlockPushRgb-v0", "BlockInsertRgb-v0",
+                       "BlockPushMultimodalRgb-v0"]:
+            spec = make(env_id)
+            assert spec.render_fn is not None, f"{env_id} has no render_fn"
+            frame = spec.render_fn(spec.reset_fn(jax.random.PRNGKey(0)))
+            assert frame.dtype == np.uint8 and frame.ndim == 3
+        # non-Rgb ids ship no renderer
+        assert make("BlockPush-v0").render_fn is None
+
+    def test_flipped_is_horizontal_short(self):
+        flipped = make("BlockPushMultimodalFlipped-v0")
+        assert flipped.max_episode_steps == 25  # multimodal:713-717
