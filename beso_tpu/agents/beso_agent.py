@@ -50,6 +50,7 @@ class BesoAgentConfig:
     resid_pdrop: float = 0.0
     cond_mask_prob: float = 0.0    # goal_drop
     linear_output: bool = True
+    attention: str = "auto"  # 'auto' | 'broadcast' | 'pallas' (models/gpt.py)
     # diffusion (beso_*.yaml)
     sampler_type: str = "ddim"
     num_sampling_steps: int = 3
@@ -101,6 +102,7 @@ class BesoAgent:
             resid_pdrop=config.resid_pdrop,
             cond_mask_prob=config.cond_mask_prob,
             linear_output=config.linear_output,
+            attention=config.attention,
             dtype=dtype,
         )
         self.denoiser = GCDenoiser(self.model, sigma_data=config.sigma_data)

@@ -34,13 +34,35 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# token count at/above which "auto" attention switches from the VPU
+# broadcast form to the Pallas flash kernel (where [B,H,T,T] score
+# materialization starts to dominate HBM traffic)
+_FLASH_THRESHOLD = 64
+
+
 class CausalSelfAttention(nn.Module):
-    """Multi-head causal self-attention (score_gpts.py:15-80)."""
+    """Multi-head causal self-attention (score_gpts.py:15-80).
+
+    `impl` selects the compute path (same math, different hardware mapping):
+    * "broadcast" — VPU broadcast-multiply-reduce. For BESO's tiny token
+      counts (~11) the per-head QK^T matmuls are 11x60 tiles, far below the
+      128x128 MXU tile, so this measures ~2.6x faster at B=4096 on v5e.
+    * "pallas" — the flash-attention kernel (ops/flash_attention.py):
+      online-softmax streaming over K/V blocks, no TxT materialization.
+      Measured on v5e: equal to broadcast at the 131-token chunked config
+      (attention is a small fraction there), and the only path that RUNS at
+      ~1k tokens — the broadcast form's [B, T, S, H] score tensor blows the
+      compiler's memory budget (remote-compile failure at B=64, T=1027).
+    * "auto" (default) — broadcast below _FLASH_THRESHOLD tokens, pallas at
+      or above it. NOTE: the pallas path does not support attention dropout
+      (BESO ships attn_pdrop=0 everywhere); dropout falls back to broadcast.
+    """
 
     n_embd: int
     n_heads: int
     attn_pdrop: float
     resid_pdrop: float
+    impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -52,23 +74,37 @@ class CausalSelfAttention(nn.Module):
         q = q.reshape(B, T, self.n_heads, hd)
         k = k.reshape(B, T, self.n_heads, hd)
         v = v.reshape(B, T, self.n_heads, hd)
-        # Causal attention (score_gpts.py:42-47,70). For BESO's tiny token
-        # counts (~11) the per-head QK^T matmuls are 11x60 tiles — far below
-        # the 128x128 MXU tile, so a batched-matmul attention wastes >98% of
-        # the systolic array. A broadcast-multiply-reduce runs on the VPU
-        # instead and measures ~2.6x faster at B=4096 on v5e; it is exactly
-        # the same math.
-        scale = 1.0 / math.sqrt(hd)
-        scores = (q[:, :, None] * k[:, None, :, :, :]).sum(-1)  # [B, T, S, H]
-        scores = scores.astype(jnp.float32) * scale
-        causal = jnp.tril(jnp.ones((T, T), bool))
-        scores = jnp.where(causal[None, :, :, None], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=2)
-        if self.attn_pdrop > 0 and not deterministic:
-            probs = nn.Dropout(self.attn_pdrop)(probs, deterministic=deterministic)
-        probs = probs.astype(v.dtype)
-        y = (probs[..., None] * v[:, None]).sum(2)  # [B, T, H, hd]
-        y = y.reshape(B, T, C)
+
+        dropout_active = self.attn_pdrop > 0 and not deterministic
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if (T >= _FLASH_THRESHOLD
+                                and not dropout_active) else "broadcast"
+        if impl == "pallas" and dropout_active:
+            raise ValueError("attention='pallas' does not support attn_pdrop")
+
+        if impl == "pallas":
+            from beso_tpu.ops.flash_attention import flash_attention
+
+            # kernel layout [B, H, T, hd]; interpret mode on CPU hosts
+            y = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), causal=True,
+                interpret=jax.default_backend() == "cpu")
+            y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+        else:
+            scale = 1.0 / math.sqrt(hd)
+            scores = (q[:, :, None] * k[:, None, :, :, :]).sum(-1)  # [B,T,S,H]
+            scores = scores.astype(jnp.float32) * scale
+            causal = jnp.tril(jnp.ones((T, T), bool))
+            scores = jnp.where(causal[None, :, :, None], scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=2)
+            if dropout_active:
+                probs = nn.Dropout(self.attn_pdrop)(probs,
+                                                    deterministic=deterministic)
+            probs = probs.astype(v.dtype)
+            y = (probs[..., None] * v[:, None]).sum(2)  # [B, T, H, hd]
+            y = y.reshape(B, T, C)
         y = nn.Dense(self.n_embd, dtype=self.dtype, name="proj")(y)
         y = nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
         return y
@@ -89,6 +125,7 @@ class Block(nn.Module):
     attn_pdrop: float
     resid_pdrop: float
     approximate_gelu: bool = True
+    attention: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,7 +133,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
         x = x + CausalSelfAttention(
             self.n_embd, self.n_heads, self.attn_pdrop, self.resid_pdrop,
-            dtype=self.dtype, name="attn",
+            impl=self.attention, dtype=self.dtype, name="attn",
         )(h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(4 * self.n_embd, dtype=self.dtype, name="fc")(h)
@@ -133,6 +170,7 @@ class DiffusionGPT(nn.Module):
     goal_dim: Optional[int] = None  # defaults to state_dim (shared tok_emb)
     sigma_embedding: str = "Linear"  # time_embedding_fn type (utils.py:8-23)
     approximate_gelu: bool = True    # tanh GELU (see Block); False = torch erf
+    attention: str = "auto"          # 'auto' | 'broadcast' | 'pallas'
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -216,6 +254,7 @@ class DiffusionGPT(nn.Module):
         for i in range(self.n_layers):
             x = Block(self.embed_dim, self.n_heads, self.attn_pdrop,
                       self.resid_pdrop, approximate_gelu=self.approximate_gelu,
+                      attention=self.attention,
                       dtype=self.dtype, name=f"block_{i}")(
                 x, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")(x)

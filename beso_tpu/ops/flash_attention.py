@@ -75,7 +75,53 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = True, block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False) -> jnp.ndarray:
-    """q, k, v: [B, H, T, hd] -> [B, H, T, hd], softmax(QK^T/sqrt(hd))V."""
+    """q, k, v: [B, H, T, hd] -> [B, H, T, hd], softmax(QK^T/sqrt(hd))V.
+
+    Differentiable: the forward streams through the Pallas kernel; the
+    backward is the standard attention VJP in XLA einsums (it materializes
+    the TxT score matrix, so training memory is O(T^2) while inference
+    stays O(T) — fine at action-chunking sizes; a Pallas backward kernel is
+    the upgrade path for multi-thousand-token training).
+    """
+    return _flash_attention_vjp(q, k, v, causal, block_q, block_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_vjp(q, k, v, causal, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, causal, block_q, block_k, interpret)
+
+
+def _flash_attention_fwd(q, k, v, causal, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, causal, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _flash_attention_bwd(causal, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    hd = q.shape[-1]
+    scale = 1.0 / math.sqrt(hd)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        T = q.shape[2]
+        mask = jnp.tril(jnp.ones((T, T), bool))
+        s = jnp.where(mask[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention_vjp.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   causal: bool, block_q: int, block_k: int,
+                   interpret: bool) -> jnp.ndarray:
     B, H, T, hd = q.shape
     sm_scale = 1.0 / math.sqrt(hd)
     block_q = min(block_q, T)

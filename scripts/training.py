@@ -41,6 +41,7 @@ def build_agent_config(cfg):
         resid_pdrop=cfg.get("resid_pdrop", 0.0),
         cond_mask_prob=cfg.get("cond_mask_prob", 0.0),
         linear_output=cfg.get("linear_output", True),
+        attention=cfg.get("attention", "auto"),
         sampler_type=cfg.get("sampler_type", "ddim"),
         num_sampling_steps=cfg.get("n_timesteps", 3),
         sigma_data=cfg.get("sigma_data", 0.5),

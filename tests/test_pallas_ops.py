@@ -42,3 +42,82 @@ class TestFlashAttention:
         want = reference_attention(q, k, v, causal=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestPallasAttentionWired:
+    """The flash kernel is reachable from the model via attention='pallas'
+    (round-1 finding: tested-but-dead capability)."""
+
+    def test_model_pallas_matches_broadcast_at_chunked_size(self):
+        """DiffusionGPT with attention='pallas' must match the broadcast
+        path at the action-chunking window (64 obs -> 131 tokens)."""
+        import jax.numpy as jnp
+
+        from beso_tpu.models import DiffusionGPT
+
+        kw = dict(state_dim=8, action_dim=3, embed_dim=48, n_layers=2,
+                  n_heads=2, goal_seq_len=2, obs_seq_len=64)
+        m_ref = DiffusionGPT(attention="broadcast", **kw)
+        m_pal = DiffusionGPT(attention="pallas", **kw)
+
+        rng = np.random.default_rng(0)
+        B, T = 3, 64
+        states = jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32)
+        actions = jnp.asarray(rng.normal(size=(B, T, 3)), jnp.float32)
+        goals = jnp.asarray(rng.normal(size=(B, 2, 8)), jnp.float32)
+        sigma = jnp.asarray(rng.uniform(0.05, 1.0, size=(B,)), jnp.float32)
+
+        params = m_ref.init(jax.random.PRNGKey(0), states, actions, goals, sigma)
+        out_ref = m_ref.apply(params, states, actions, goals, sigma)
+        out_pal = m_pal.apply(params, states, actions, goals, sigma)
+        np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_auto_selects_pallas_for_long_contexts(self):
+        from beso_tpu.models.gpt import _FLASH_THRESHOLD
+
+        assert _FLASH_THRESHOLD <= 131  # the chunked config's token count
+
+    def test_chunked_config_builds(self):
+        """configs/franka_kitchen_chunked.yaml wires attention=pallas through
+        the agent construction path."""
+        import importlib
+
+        from beso_tpu.utils.config import load_config
+
+        tr = importlib.import_module("scripts.training")
+        cfg = load_config("configs/franka_kitchen_chunked.yaml")
+        agent_cfg = tr.build_agent_config(cfg)
+        assert agent_cfg.attention == "pallas"
+        assert agent_cfg.window_size == 64
+
+    def test_pallas_gradients_match_broadcast(self):
+        """Training through attention='pallas' (custom VJP): gradients must
+        match the broadcast path."""
+        import jax.numpy as jnp
+
+        from beso_tpu.models import DiffusionGPT
+
+        kw = dict(state_dim=6, action_dim=2, embed_dim=32, n_layers=1,
+                  n_heads=2, goal_seq_len=1, obs_seq_len=64)
+        m_ref = DiffusionGPT(attention="broadcast", **kw)
+        m_pal = DiffusionGPT(attention="pallas", **kw)
+
+        rng = np.random.default_rng(1)
+        B, T = 2, 64
+        states = jnp.asarray(rng.normal(size=(B, T, 6)), jnp.float32)
+        actions = jnp.asarray(rng.normal(size=(B, T, 2)), jnp.float32)
+        goals = jnp.asarray(rng.normal(size=(B, 1, 6)), jnp.float32)
+        sigma = jnp.full((B,), 0.5)
+        params = m_ref.init(jax.random.PRNGKey(0), states, actions, goals, sigma)
+
+        def loss(m):
+            return lambda p: jnp.sum(m.apply(p, states, actions, goals, sigma) ** 2)
+
+        g_ref = jax.grad(loss(m_ref))(params)
+        g_pal = jax.grad(loss(m_pal))(params)
+        flat_r = jax.tree_util.tree_leaves(g_ref)
+        flat_p = jax.tree_util.tree_leaves(g_pal)
+        for a, b in zip(flat_r, flat_p):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=5e-5)
