@@ -41,6 +41,9 @@ def main(argv=None):
     parser.add_argument("--eval-n-times", type=int, default=100)
     parser.add_argument("--eval-n-steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=6)
+    parser.add_argument("--robustness", action="store_true",
+                        help="kitchen only: after training, re-evaluate under"
+                             " +-20%% perturbed physics and report retention")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -113,7 +116,29 @@ def main(argv=None):
         "train_steps_per_sec": round(args.train_steps / train_time, 1),
         "improvement": round(trained["avrg_result"]
                              - baseline["avrg_result"], 3),
+        "success_rates": {k: trained[k] for k in trained
+                          if k.startswith("success_rate")},
     }
+
+    if args.robustness and args.env == "kitchen":
+        # robustness protocol: train at nominal constants, evaluate at +-20%
+        # gains / contact radii, report retention (VERDICT round-1 item 3)
+        from beso_tpu.envs.kitchen.env import perturb_kitchen_params
+
+        nominal = trained["avrg_result"]
+        rb = {}
+        for label, gs, rs in [("gain-20", 0.8, 1.0), ("gain+20", 1.2, 1.0),
+                              ("radius-20", 1.0, 0.8), ("radius+20", 1.0, 1.2)]:
+            out = ws.test_agent(agent, key=k_eval, log_metrics=False,
+                                physics_params=perturb_kitchen_params(
+                                    gain_scale=gs, radius_scale=rs))
+            rb[label] = {"result": round(out["avrg_result"], 3),
+                         "retention": round(out["avrg_result"]
+                                            / max(nominal, 1e-9), 3)}
+            log.info("robustness %s: result %.3f (retention %.0f%%)", label,
+                     out["avrg_result"], 100 * rb[label]["retention"])
+        summary["robustness"] = rb
+
     print(json.dumps(summary))
     return summary
 

@@ -265,3 +265,33 @@ class TestAuxNets:
         assert np.abs(np.asarray(out)).max() <= 1.0
         gap = GlobalAvgPool2d()
         assert gap.apply(gap.init(jax.random.PRNGKey(0), x), x).shape == (2, 3)
+
+
+class TestVisionDiffusionGPT:
+    def test_separate_goal_embedding(self):
+        """VisionDiffusionGPT (score_gpts.py:377-642): goals of dim
+        state_dim-14 get their OWN Linear embedding instead of sharing
+        tok_emb; otherwise identical math."""
+        from beso_tpu.models.gpt import VisionDiffusionGPT
+
+        m = VisionDiffusionGPT(state_dim=30, action_dim=9, embed_dim=48,
+                               n_layers=2, n_heads=2, goal_seq_len=2,
+                               obs_seq_len=3)
+        assert m.goal_dim == 16  # state_dim - 14 (score_gpts.py:408)
+        rng = np.random.default_rng(0)
+        states = jnp.asarray(rng.normal(size=(2, 3, 30)), jnp.float32)
+        actions = jnp.asarray(rng.normal(size=(2, 3, 9)), jnp.float32)
+        goals = jnp.asarray(rng.normal(size=(2, 2, 16)), jnp.float32)
+        sigma = jnp.full((2,), 0.5)
+        params = m.init(jax.random.PRNGKey(0), states, actions, goals, sigma)
+        assert "goal_emb" in params["params"]  # separate goal Linear exists
+        out = m.apply(params, states, actions, goals, sigma)
+        assert out.shape == (2, 3, 9)
+        assert np.isfinite(np.asarray(out)).all()
+        # uncond zeroes the goals: different output than conditional
+        out_uncond = m.apply(params, states, actions, goals, sigma, uncond=True)
+        assert not np.allclose(np.asarray(out), np.asarray(out_uncond))
+        # zero goals == uncond (goal path enters only through goal_emb)
+        out_zero = m.apply(params, states, actions, jnp.zeros_like(goals), sigma)
+        np.testing.assert_allclose(np.asarray(out_uncond), np.asarray(out_zero),
+                                   rtol=1e-6, atol=1e-7)
