@@ -154,20 +154,57 @@ def single_block_push_step(state: SingleBlockPushState, action: jnp.ndarray,
     return frozen, single_block_push_obs(frozen), reward, frozen.done
 
 
-# normalized-variant stats (block_pushing.py:823-838 wrapper semantics:
-# map obs/action affinely into [-1, 1] over the workspace/action ranges)
-_OBS_LO = jnp.concatenate([WORKSPACE_BOUNDS[0], jnp.asarray([-jnp.pi]),
-                           WORKSPACE_BOUNDS[0], WORKSPACE_BOUNDS[0],
-                           WORKSPACE_BOUNDS[0], jnp.asarray([0.0])])
-_OBS_HI = jnp.concatenate([WORKSPACE_BOUNDS[1], jnp.asarray([jnp.pi]),
-                           WORKSPACE_BOUNDS[1], WORKSPACE_BOUNDS[1],
-                           WORKSPACE_BOUNDS[1], jnp.asarray([2 * jnp.pi])])
+# ---------------------------------------------------------------------------
+# BlockPushNormalized wrapper (block_pushing.py:790-1003): the observation is
+# RESTRUCTURED into relative translations + cos/sin orientations and mapped
+# to ~[-1, 1] with the reference's PUBLISHED per-feature stats
+# (block_pushing.py:55-86, "[mean-3*std, mean+3*std] -> [-1, 1]"); actions
+# are taken in [-1, 1] and unnormalized with ACTION_MIN/MAX; reward is x100.
+# ---------------------------------------------------------------------------
+
+ACTION_MIN = jnp.asarray([-0.02547718, -0.02090043])
+ACTION_MAX = jnp.asarray([0.02869084, 0.04272365])
+_EFF_TGT_MIN = jnp.asarray([0.1774151772260666, -0.6287994794547558])
+_EFF_TGT_MAX = jnp.asarray([0.5654461532831192, 0.5441607423126698])
+_TO_BLOCK_MIN = jnp.asarray([-0.07369826920330524, -0.11395704373717308])
+_TO_BLOCK_MAX = jnp.asarray([0.10131562314927578, 0.19391131028532982])
+_TO_TARGET_MIN = jnp.asarray([-0.17813862301409245, -0.3309651017189026])
+_TO_TARGET_MAX = jnp.asarray([0.23726161383092403, 0.8404090404510498])
+_BLOCK_CS_MIN = jnp.asarray([-2.0649861991405487, -0.6154364347457886])
+_BLOCK_CS_MAX = jnp.asarray([1.6590178310871124, 1.8811014890670776])
+_TARGET_CS_MIN = jnp.asarray([-1.0761439241468906, -0.8846937336493284])
+_TARGET_CS_MAX = jnp.asarray([-0.8344330154359341, 0.8786859593819827])
 
 
-def normalize_obs(obs: jnp.ndarray) -> jnp.ndarray:
-    return (obs - _OBS_LO) / (_OBS_HI - _OBS_LO) * 2.0 - 1.0
+def _norm(v, lo, hi):
+    """[min, max] -> [-1, 1] (block_pushing.py:869-873)."""
+    offset = (hi + lo) * 0.5
+    scale = (hi - lo) * 0.5
+    return (v - offset) / scale
+
+
+def normalized_obs(state: SingleBlockPushState) -> jnp.ndarray:
+    """The reference's normalized state, flattened in its OrderedDict order
+    (calc_normalized_state, block_pushing.py:885-935): [effector_target(2),
+    effector_target->block(2), block cos/sin(2), effector_target->target(2),
+    target cos/sin(2)]. effector_translation is deliberately dropped (the
+    mapping is non-invertible, block_pushing.py:917-918)."""
+    et = state.effector_target
+    block_cs = jnp.stack([jnp.cos(state.block_yaw), jnp.sin(state.block_yaw)])
+    target_cs = jnp.stack([jnp.cos(state.target_yaw), jnp.sin(state.target_yaw)])
+    return jnp.concatenate([
+        _norm(et, _EFF_TGT_MIN, _EFF_TGT_MAX),
+        _norm(state.block_pos - et, _TO_BLOCK_MIN, _TO_BLOCK_MAX),
+        _norm(block_cs, _BLOCK_CS_MIN, _BLOCK_CS_MAX),
+        _norm(state.target_pos - et, _TO_TARGET_MIN, _TO_TARGET_MAX),
+        _norm(target_cs, _TARGET_CS_MIN, _TARGET_CS_MAX),
+    ])
 
 
 def denormalize_action(action: jnp.ndarray) -> jnp.ndarray:
-    """[-1, 1] -> the env's +-0.1 delta-xy range (block_pushing.py:823)."""
-    return action * 0.1
+    """clip to [-1, 1] then map to [ACTION_MIN, ACTION_MAX]
+    (block_pushing.py:853-856, 875-880)."""
+    a = jnp.clip(action, -1.0, 1.0)
+    offset = (ACTION_MAX + ACTION_MIN) * 0.5
+    scale = (ACTION_MAX - ACTION_MIN) * 0.5
+    return a * scale + offset

@@ -9,10 +9,11 @@ obs_fn, episode_steps, render_fn) bundle; every env is batched via vmap by
 the caller.
 
 Variant semantics (each id is behaviorally distinct, not an alias):
-* `*Normalized-v0`: observations mapped to [-1, 1] over the workspace
-  ranges and actions taken in [-1, 1] (denormalized to the +-0.1 delta-xy
-  range inside step), per the reference's BlockPushNormalized wrapper
-  (block_pushing.py:790-1003).
+* `*Normalized-v0`: the reference's BlockPushNormalized wrapper
+  (block_pushing.py:790-1003) — observations RESTRUCTURED into relative
+  translations + cos/sin orientations normalized with the published
+  per-feature stats, actions taken in [-1, 1] (unnormalized with
+  ACTION_MIN/MAX inside step), reward x100.
 * `BlockInsert*`: the slotted-target INSERT task (block_pushing.py:170,
   370-371): the block only enters the target region along the slot opening.
 * `*Rgb-v0`: ships a host-side `render_fn(state) -> uint8 RGB` (the
@@ -57,7 +58,7 @@ def _multimodal_spec(steps=350, horizontal=False, rgb=False) -> EnvSpec:
 
 def _single_spec(task: str, steps=100, normalized=False, rgb=False) -> EnvSpec:
     from beso_tpu.envs.block_push.single import (denormalize_action,
-                                                 normalize_obs,
+                                                 normalized_obs,
                                                  single_block_push_obs,
                                                  single_block_push_reset,
                                                  single_block_push_step)
@@ -66,14 +67,13 @@ def _single_spec(task: str, steps=100, normalized=False, rgb=False) -> EnvSpec:
     step_fn = partial(single_block_push_step, task=task)
     obs_fn = single_block_push_obs
     if normalized:
-        raw_step, raw_obs = step_fn, obs_fn
-
-        def obs_fn(state):  # noqa: F811
-            return normalize_obs(raw_obs(state))
+        raw_step = step_fn
+        obs_fn = normalized_obs  # restructured features, published stats
 
         def step_fn(state, action):  # noqa: F811
-            s, obs, r, d = raw_step(state, denormalize_action(action))
-            return s, normalize_obs(obs), r, d
+            s, _, r, d = raw_step(state, denormalize_action(action))
+            # "Keep returns in [0, 100]" (block_pushing.py:860)
+            return s, normalized_obs(s), r * 100.0, d
 
     render_fn = None
     if rgb:

@@ -83,21 +83,24 @@ class TestRegistryVariantsBehave:
     (round-1 finding: Normalized/Insert/Rgb ids were aliases of PUSH)."""
 
     def test_normalized_obs_and_action(self):
+        from beso_tpu.envs.block_push.single import ACTION_MAX
+
         raw = make("BlockPush-v0")
         norm = make("BlockPushNormalized-v0")
         key = jax.random.PRNGKey(0)
         s_raw, s_norm = raw.reset_fn(key), norm.reset_fn(key)
         o_raw, o_norm = raw.obs_fn(s_raw), norm.obs_fn(s_norm)
-        # normalized obs live in [-1, 1]; raw workspace coords do not
-        assert float(jnp.abs(o_norm).max()) <= 1.0 + 1e-5
-        assert float(jnp.abs(o_raw).max()) > 1.0 - 1e-5 or \
-            not np.allclose(np.asarray(o_raw), np.asarray(o_norm))
-        # a full-scale normalized action = a 0.1 raw delta
-        _, _, _, _ = norm.step_fn(s_norm, jnp.asarray([1.0, 0.0]))
-        s2n, _, _, _ = norm.step_fn(s_norm, jnp.asarray([1.0, 0.0]))
-        s2r, _, _, _ = raw.step_fn(s_raw, jnp.asarray([0.1, 0.0]))
+        # normalized obs are restructured (relative translations + cos/sin),
+        # roughly within [-3, 3] of the published stats; raw coords differ
+        assert float(jnp.abs(o_norm).max()) <= 3.0
+        assert not np.allclose(np.asarray(o_raw), np.asarray(o_norm))
+        # a full-scale [1, 1] normalized action = ACTION_MAX raw delta
+        # (block_pushing.py:875-880)
+        s2n, _, _, _ = norm.step_fn(s_norm, jnp.asarray([1.0, 1.0]))
+        s2r, _, _, _ = raw.step_fn(s_raw, jnp.asarray(ACTION_MAX))
         np.testing.assert_allclose(np.asarray(s2n.effector_target),
                                    np.asarray(s2r.effector_target), atol=1e-6)
+        # normalized reward is x100 (block_pushing.py:860)
 
     def test_insert_slot_gates_entry(self):
         """INSERT: a block pushed at the target from a misaligned bearing is

@@ -64,6 +64,42 @@ def _install_reference():
         sys.modules["gym"] = gym
         sys.modules["gym.envs"] = envs
         sys.modules["gym.envs.registration"] = reg
+    def _passthrough_dec(*a, **k):
+        if a and (callable(a[0]) or isinstance(a[0], type)):
+            return a[0]
+        return lambda f: f
+
+    if "gin" not in sys.modules:
+        gin = types.ModuleType("gin")
+        gin.configurable = _passthrough_dec
+        gin.constants_from_enum = _passthrough_dec
+        sys.modules["gin"] = gin
+    # gym stub (installed above) needs Env/spaces for block_pushing.py
+    gym = sys.modules["gym"]
+    if not hasattr(gym, "Env"):
+        gym.Env = type("Env", (), {})
+        spaces = types.ModuleType("gym.spaces")
+        spaces.Box, spaces.Dict, spaces.Discrete = object, dict, object
+        gym.spaces = spaces
+        sys.modules["gym.spaces"] = spaces
+        sys.modules["gym.envs.registration"].registry = types.SimpleNamespace(
+            env_specs={})
+    if "pybullet" not in sys.modules:
+        pb = types.ModuleType("pybullet")
+        for i, kname in enumerate(["DIRECT", "GUI", "SHARED_MEMORY",
+                                   "JOINT_REVOLUTE", "JOINT_PRISMATIC",
+                                   "JOINT_FIXED"]):
+            setattr(pb, kname, i)
+        sys.modules["pybullet"] = pb
+        bc = types.ModuleType("pybullet_utils.bullet_client")
+        bc.BulletClient = object
+        pu = types.ModuleType("pybullet_utils")
+        pu.bullet_client = bc
+        sys.modules["pybullet_utils"] = pu
+        sys.modules["pybullet_utils.bullet_client"] = bc
+        pd = types.ModuleType("pybullet_data")
+        pd.getDataPath = lambda: "/tmp"
+        sys.modules["pybullet_data"] = pd
     import torch._utils as tu
     if not hasattr(tu, "_accumulate"):  # removed in newer torch
         tu._accumulate = lambda it: itertools.accumulate(it)
@@ -636,3 +672,41 @@ def test_density_distribution_parity(name, ref_fn, my_fn):
     my_draws = np.asarray(my_fn(jax.random.PRNGKey(123), n))
     stat, p = ks_2samp(ref_draws, my_draws)
     assert stat < 0.02, f"{name}: KS statistic {stat:.4f} (p={p:.3g})"
+
+
+# ---------------------------------------------------------------------------
+# BlockPushNormalized wrapper (published-stat normalization)
+# ---------------------------------------------------------------------------
+
+def test_block_push_normalized_parity():
+    """Our normalized obs/action must match the reference's
+    BlockPushNormalized.calc_normalized_state / calc_unnormalized_action
+    (block_pushing.py:790-1003) on the same underlying state."""
+    import collections
+
+    import beso.envs.block_pushing.block_pushing as ref_bp
+
+    from beso_tpu.envs.block_push.single import (denormalize_action,
+                                                 normalized_obs,
+                                                 single_block_push_reset)
+
+    s = single_block_push_reset(jax.random.PRNGKey(5))
+    state = collections.OrderedDict(
+        effector_target_translation=np.asarray(s.effector_target, np.float32),
+        block_translation=np.asarray(s.block_pos, np.float32),
+        block_orientation=np.asarray([float(s.block_yaw), 0, 0], np.float32),
+        target_translation=np.asarray(s.target_pos, np.float32),
+        target_orientation=np.asarray([float(s.target_yaw), 0, 0], np.float32),
+        effector_translation=np.asarray(s.effector, np.float32),
+    )
+    ref_norm = ref_bp.BlockPushNormalized.calc_normalized_state(state)
+    ref_flat = np.concatenate([np.asarray(v) for v in ref_norm.values()])
+    np.testing.assert_allclose(np.asarray(normalized_obs(s)), ref_flat,
+                               rtol=1e-5, atol=1e-6)
+
+    for a in ([1.0, -1.0], [0.25, 0.5], [-2.0, 3.0]):  # incl. out-of-range
+        ref_a = ref_bp.BlockPushNormalized.calc_unnormalized_action(
+            np.clip(np.asarray(a, np.float32), -1, 1))
+        np.testing.assert_allclose(
+            np.asarray(denormalize_action(jnp.asarray(a, jnp.float32))),
+            ref_a, rtol=1e-6, atol=1e-7)
