@@ -710,3 +710,140 @@ def test_block_push_normalized_parity():
         np.testing.assert_allclose(
             np.asarray(denormalize_action(jnp.asarray(a, jnp.float32))),
             ref_a, rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# goal functions (the success metric's inputs) against the reference closures
+# ---------------------------------------------------------------------------
+
+def _exported_kitchen(tmp_path):
+    from beso_tpu.data.export import export_relay_kitchen
+    from beso_tpu.data.trajectories import synthetic_kitchen_data
+
+    data = synthetic_kitchen_data(n_traj=12, t_max=40, seed=3)
+    export_relay_kitchen(data, tmp_path)
+    return data
+
+
+def test_kitchen_multigoal_goal_fn_parity(tmp_path):
+    """Our precomputed multigoal goals/expected masks must equal the
+    reference get_goal_fn('future') closure over the SAME exported dataset
+    (franka_kitchen/goals.py:87-93 + the expected-task oracle)."""
+    import beso.envs.franka_kitchen.goals as ref_goals
+
+    from beso_tpu.envs.kitchen.goals import multigoal_kitchen_goals
+
+    data = _exported_kitchen(tmp_path)
+    seed, frac, G, N = 42, 0.75, 2, 8
+    ref_fn = ref_goals.get_goal_fn(str(tmp_path), "future", goal_seq_len=G,
+                                   sequential_goal=False, seed=seed,
+                                   train_fraction=frac, device="cpu")
+    goals, expected = multigoal_kitchen_goals(data, G, N, seed, frac)
+
+    import beso.envs.franka_kitchen.dataloader as ref_dl
+    relay = ref_dl.RelayKitchenTrajectoryDataset(str(tmp_path), device="cpu",
+                                                 onehot_goals=True)
+    train_idx, _ = ref_goals.get_split_idx(len(relay), seed=seed,
+                                           train_fraction=frac)
+    for i in range(N):
+        ref_goal = ref_fn(None, i, 0).cpu().numpy()
+        np.testing.assert_allclose(goals[i], ref_goal, rtol=1e-6, atol=1e-7,
+                                   err_msg=f"goal {i}")
+        # expected tasks = onehot maxima of the goal trajectory
+        _, _, _, onehot = relay[train_idx[i]]
+        ref_expected = (onehot.max(0).values > 0.5).numpy()
+        np.testing.assert_array_equal(expected[i], ref_expected,
+                                      err_msg=f"expected {i}")
+
+
+def test_kitchen_onehot_goal_fn_parity(tmp_path):
+    import beso.envs.franka_kitchen.goals as ref_goals
+
+    from beso_tpu.envs.kitchen.goals import onehot_kitchen_goals
+
+    data = _exported_kitchen(tmp_path)
+    seed, frac, N = 42, 0.75, 6
+    ref_fn = ref_goals.get_goal_fn(str(tmp_path), "onehot", goal_seq_len=1,
+                                   sequential_goal=False, seed=seed,
+                                   train_fraction=frac, device="cpu")
+    table, _ = onehot_kitchen_goals(data, N, seed, frac)
+    for i in range(N):
+        for frame in (0, 5, 39, 200):  # incl. beyond the trajectory length
+            ref_oh = ref_fn(None, i, frame).cpu().numpy().reshape(7)
+            np.testing.assert_allclose(
+                table[i, min(frame, table.shape[1] - 1)], ref_oh, rtol=1e-6,
+                err_msg=f"episode {i} frame {frame}")
+
+
+def test_block_push_future_goal_fn_parity(tmp_path):
+    """Flip-fix + dim-zeroing parity over the same exported dataset
+    (block_pushing/data/goals.py:64-82)."""
+    import beso.envs.block_pushing.data.goals as ref_goals
+
+    from beso_tpu.data.export import export_multimodal_push
+    from beso_tpu.data.trajectories import synthetic_push_data
+    from beso_tpu.envs.block_push.goals import (block_push_goal_frames,
+                                                build_block_push_goals)
+
+    data = synthetic_push_data(n_traj=10, t_max=30, seed=4)
+    export_multimodal_push(data, tmp_path)
+    seed, frac, G, N = 42, 0.8, 3, 4
+    ref_fn = ref_goals.get_goal_fn(str(tmp_path), "future", goal_seq_len=G,
+                                   seed=seed, train_fraction=frac,
+                                   zero_goals=True)
+    frames, _ = block_push_goal_frames(data, N, seed, frac)
+
+    rng = np.random.default_rng(0)
+    for i in range(N):
+        for flip in (False, True):
+            state = frames[i].copy()
+            if flip:  # move target 0 far from the goal's target 0
+                state[[10, 11]] = state[[10, 11]] + 0.5
+            ref_goal = ref_fn(state, i, 0).cpu().numpy()           # [G, 16]
+            mine = np.asarray(build_block_push_goals(
+                jnp.asarray(state[None]), jnp.asarray(frames[i][None]), G,
+                zero_goals=True, reduce_obs_dim=False))[0]
+            np.testing.assert_allclose(mine, ref_goal, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"goal {i} flip={flip}")
+
+
+def test_block_push_onehot_goal_fn_parity(tmp_path):
+    """Next-incomplete-task onehot parity (data/goals.py:84-114)."""
+    import beso.envs.block_pushing.data.goals as ref_goals
+
+    from beso_tpu.data.export import export_multimodal_push
+    from beso_tpu.data.trajectories import synthetic_push_data
+    from beso_tpu.envs.block_push.goals import (block_push_onehot_goal,
+                                                demo_task_order)
+
+    data = synthetic_push_data(n_traj=10, t_max=30, seed=5)
+    export_multimodal_push(data, tmp_path)
+    seed, frac, N = 42, 0.8, 4
+    ref_fn = ref_goals.get_goal_fn(str(tmp_path), "onehot", goal_seq_len=1,
+                                   seed=seed, train_fraction=frac)
+    order = demo_task_order(data, N, seed, frac)
+
+    rng = np.random.default_rng(1)
+    for i in range(N):
+        # fresh state: nothing done
+        state = rng.normal(0.0, 0.3, size=16).astype(np.float32)
+        # ensure no block-target pair is accidentally 'done'
+        state[[10, 11]] = [5.0, 5.0]
+        state[[13, 14]] = [-5.0, -5.0]
+        ref_oh = ref_fn(state, i, 0).cpu().numpy()
+        mine = np.asarray(block_push_onehot_goal(
+            jnp.asarray(state[None]), jnp.asarray(order[i][None])))[0]
+        np.testing.assert_allclose(mine, ref_oh, err_msg=f"fresh {i}")
+
+        # complete the first demonstrated task: block b onto target t
+        first = int(order[i][0])
+        b, t = divmod(first, 2)
+        done_state = state.copy()
+        bidx = [0, 1] if b == 0 else [3, 4]
+        tidx = [10, 11] if t == 0 else [13, 14]
+        done_state[tidx] = [0.2, 0.2]
+        done_state[bidx] = [0.21, 0.2]  # within 0.05
+        ref_oh = ref_fn(done_state, i, 1).cpu().numpy()
+        mine = np.asarray(block_push_onehot_goal(
+            jnp.asarray(done_state[None]), jnp.asarray(order[i][None])))[0]
+        np.testing.assert_allclose(mine, ref_oh, err_msg=f"done {i}")
