@@ -8,7 +8,7 @@ import pytest
 from beso_tpu.envs.block_push.env import block_push_reset, block_push_step
 from beso_tpu.envs.block_push.single import (
     denormalize_action,
-    normalize_obs,
+    normalized_obs,
     single_block_push_obs,
     single_block_push_reset,
     single_block_push_step,
@@ -43,9 +43,17 @@ class TestSingleBlockPush:
 
     def test_normalized_wrapper(self):
         s = single_block_push_reset(jax.random.PRNGKey(3))
-        obs_n = np.asarray(normalize_obs(single_block_push_obs(s)))
+        obs_n = np.asarray(normalized_obs(s))
+        assert obs_n.shape == (10,)
         assert (np.abs(obs_n) <= 1.5).all()
-        np.testing.assert_allclose(denormalize_action(jnp.ones(2)), 0.1)
+        # denormalize maps [-1,1]^2 onto [ACTION_MIN, ACTION_MAX]
+        from beso_tpu.envs.block_push.single import ACTION_MAX, ACTION_MIN
+        np.testing.assert_allclose(
+            np.asarray(denormalize_action(jnp.ones(2))),
+            np.asarray(ACTION_MAX), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(denormalize_action(-jnp.ones(2))),
+            np.asarray(ACTION_MIN), rtol=1e-6)
 
     def test_vmappable(self):
         keys = jax.random.split(jax.random.PRNGKey(4), 8)
