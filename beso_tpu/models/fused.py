@@ -1,0 +1,187 @@
+"""Fused-inference engine for DiffusionGPT: whole forward via Pallas layers.
+
+Drop-in replacement for `GCDenoiser.apply` on the rollout/serving path. The
+token assembly (sigma/state/goal/action embeddings, positional embeddings,
+interleaving — `score_gpts.py:281-337` semantics, identical to
+models/gpt.py) and the output head run as ordinary XLA ops; the 6-layer
+transformer stack runs as fused Pallas kernels (ops/fused_layer.py) in the
+tokens-major [T, D, B] layout, entering and leaving that layout with a
+single transpose each way.
+
+Usage:
+    den = GCDenoiser(model, sigma_data=0.5)
+    params = ...  # trained flax params
+    denoise_fn = make_fused_denoise_fn(den, params)
+    pred = denoise_fn(states, actions, goals, sigma)   # == den.apply(...)
+
+Training always uses the flax path (the kernel is forward-only); parity is
+enforced by tests/test_fused.py against models/gpt.py, which carries the
+reference golden tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from beso_tpu.core.precond import append_dims, edm_scalings
+from beso_tpu.ops.fused_layer import (ENV_BLOCK, FusedLayerParams,
+                                      fused_layer, prepare_layer_params)
+
+
+class FusedGPTParams(NamedTuple):
+    sig_w: jnp.ndarray            # [1, D]
+    sig_b: jnp.ndarray            # [D]
+    tok_w: jnp.ndarray            # [state_dim, D]
+    tok_b: jnp.ndarray            # [D]
+    goal_w: Optional[jnp.ndarray]  # [goal_dim, D] when separate goal_emb
+    goal_b: Optional[jnp.ndarray]
+    act_w: jnp.ndarray            # [action_dim, D]
+    act_b: jnp.ndarray            # [D]
+    pos_emb: jnp.ndarray          # [1, seq_size, D]
+    layers: Tuple[FusedLayerParams, ...]
+    lnf_scale: jnp.ndarray        # [D]
+    lnf_bias: jnp.ndarray         # [D]
+    head: Tuple[jnp.ndarray, ...]  # (w, b) or (w1, b1, w2, b2)
+
+
+def prepare_fused_gpt(model, params: Any) -> FusedGPTParams:
+    """Extract + pre-layout flax DiffusionGPT params for the fused path."""
+    if model.sigma_embedding != "Linear":
+        raise NotImplementedError(
+            "fused inference supports the shipped 'Linear' sigma embedding")
+    p = params.get("params", params)
+    dtype = model.dtype
+
+    def kb(name):
+        return p[name]["kernel"], p[name]["bias"]
+
+    layers = []
+    for i in range(model.n_layers):
+        blk = p[f"block_{i}"]
+        wqkv, bqkv = blk["attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["bias"]
+        wproj, bproj = blk["attn"]["proj"]["kernel"], blk["attn"]["proj"]["bias"]
+        layers.append(prepare_layer_params(
+            wqkv, bqkv, wproj, bproj,
+            blk["fc"]["kernel"], blk["fc"]["bias"],
+            blk["fc_proj"]["kernel"], blk["fc_proj"]["bias"],
+            blk["ln1"]["scale"], blk["ln1"]["bias"],
+            blk["ln2"]["scale"], blk["ln2"]["bias"],
+            n_heads=model.n_heads, dtype=dtype))
+
+    if model.linear_output:
+        head = kb("action_pred")
+    else:
+        head = kb("action_pred_fc") + kb("action_pred_out")
+
+    goal_w = goal_b = None
+    if model.goal_dim is not None and model.goal_dim != model.state_dim:
+        goal_w, goal_b = kb("goal_emb")
+
+    sig_w, sig_b = kb("sigma_emb")
+    tok_w, tok_b = kb("tok_emb")
+    act_w, act_b = kb("action_emb")
+    return FusedGPTParams(
+        sig_w=sig_w, sig_b=sig_b, tok_w=tok_w, tok_b=tok_b,
+        goal_w=goal_w, goal_b=goal_b, act_w=act_w, act_b=act_b,
+        pos_emb=p["pos_emb"], layers=tuple(layers),
+        lnf_scale=p["ln_f"]["scale"], lnf_bias=p["ln_f"]["bias"], head=head)
+
+
+def fused_gpt_apply(model, fp: FusedGPTParams, states, actions, goals, sigma,
+                    *, uncond: bool = False, env_block: int = ENV_BLOCK,
+                    interpret: bool = False) -> jnp.ndarray:
+    """DiffusionGPT forward (inference) with the fused transformer stack.
+
+    Same numerics as models/gpt.py __call__ with train=False.
+    """
+    B, T, _ = states.shape
+    G = model.eff_goal_len
+    D = model.embed_dim
+    dtype = model.dtype
+    head_dim = D // model.n_heads
+
+    def dense(x, w, b):
+        y = jnp.dot(x.astype(dtype), w.astype(dtype),
+                    preferred_element_type=jnp.float32)
+        return (y + b).astype(dtype)
+
+    sig = (jnp.log(sigma.astype(jnp.float32)) / 4.0).reshape(B, 1, 1)
+    emb_t = dense(sig, fp.sig_w, fp.sig_b)
+
+    if model.goal_conditioned and uncond:
+        goals = jnp.zeros_like(goals)
+
+    state_x = dense(states, fp.tok_w, fp.tok_b) + fp.pos_emb[:, G:G + T, :]
+    action_x = dense(actions, fp.act_w, fp.act_b) + fp.pos_emb[:, G:G + T, :]
+    sa_seq = jnp.stack([state_x, action_x], axis=2).reshape(B, 2 * T, D)
+    if model.goal_conditioned:
+        if fp.goal_w is not None:
+            goal_x = dense(goals, fp.goal_w, fp.goal_b)
+        else:
+            goal_x = dense(goals, fp.tok_w, fp.tok_b)
+        goal_x = goal_x + fp.pos_emb[:, :G, :]
+        seq = jnp.concatenate([emb_t, goal_x, sa_seq], axis=1)
+    else:
+        seq = jnp.concatenate([emb_t, sa_seq], axis=1)
+    seq = seq.astype(dtype)
+
+    # pad the env dim up to a block multiple (tiny B: tests / odd batches)
+    Bp = -(-B // env_block) * env_block
+    if Bp != B:
+        seq = jnp.pad(seq, ((0, Bp - B), (0, 0), (0, 0)))
+
+    x = seq.transpose(1, 2, 0)  # [T_tok, D, B]
+    for lp in fp.layers:
+        x = fused_layer(x, lp, n_heads=model.n_heads, head_dim=head_dim,
+                        approximate_gelu=model.approximate_gelu,
+                        env_block=env_block, interpret=interpret)
+    x = x.transpose(2, 0, 1)[:B]  # [B, T_tok, D]
+
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = (xf * xf).mean(-1, keepdims=True) - mu * mu
+    x = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * fp.lnf_scale
+         + fp.lnf_bias).astype(dtype)
+
+    x = x[:, G + 1:, :].reshape(B, T, 2, D)
+    action_tokens = x[:, :, 1, :]
+    if model.linear_output:
+        w, b = fp.head
+        pred = jnp.dot(action_tokens.astype(jnp.float32),
+                       w.astype(jnp.float32)) + b
+    else:
+        w1, b1, w2, b2 = fp.head
+        h = dense(action_tokens, w1, b1)
+        h = jax.nn.silu(h)
+        pred = jnp.dot(h.astype(jnp.float32), w2.astype(jnp.float32)) + b2
+    return pred.astype(jnp.float32)
+
+
+def make_fused_denoise_fn(den, params: Any, *, env_block: int = ENV_BLOCK,
+                          interpret: Optional[bool] = None):
+    """Build `denoise_fn(states, actions, goals, sigma)` == den.apply(...)
+    but running the transformer stack through the fused Pallas kernels.
+
+    `interpret=None` auto-selects interpreter mode on CPU backends so tests
+    and the virtual-mesh dryrun run unchanged.
+    """
+    model = den.inner_model
+    fp = prepare_fused_gpt(model, params)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def inner_apply(_params, states, actions, goals, sigma, **kwargs):
+        return fused_gpt_apply(model, fp, states, actions, goals, sigma,
+                               uncond=kwargs.get("uncond", False),
+                               env_block=env_block, interpret=interpret)
+
+    def denoise_fn(states, actions, goals, sigma, **kwargs):
+        c_skip, c_out, c_in = [append_dims(c, actions.ndim)
+                               for c in edm_scalings(sigma, den.sigma_data)]
+        out = inner_apply(None, states, actions * c_in, goals, sigma, **kwargs)
+        return out * c_out + actions * c_skip
+
+    return denoise_fn

@@ -1,0 +1,267 @@
+"""Fused transformer layer as a single Pallas TPU kernel (inference path).
+
+One `pallas_call` executes a full pre-LN GPT block — LN1, QKV projection,
+causal multi-head attention, output projection, residual, LN2, 4x GELU MLP,
+residual — entirely in VMEM. This is the inference engine behind the fused
+rollout: the XLA path (models/gpt.py) round-trips every intermediate
+([B,T,3D] qkv, [B,T,T,H] scores, [B,T,4D] MLP hidden) through HBM, which
+dominates the forward at BESO's shapes (6L x 360D x 11 tokens, B=4096); here
+the only HBM traffic per layer is the token stream in and out plus a single
+weight fetch.
+
+Reference semantics being fused: the explicit q/k/v Linears + masked softmax
+of `score_gpts.py:15-80` and the pre-LN block of `score_gpts.py:83-115`
+(parity is established against models/gpt.py, which itself carries the
+reference golden tests).
+
+Layout (the TPU-first trick): tokens-major, features-in-sublanes,
+**environments-in-lanes** — `x: [T, D, B]`, gridded over B in blocks of
+E=128 lanes. Consequences:
+* every matmul is `W^T @ x_i` with M=out_features, K=in_features, N=128 —
+  one full lane tile, M/K cleanly MXU-tiled;
+* per-head attention needs no relayout: padding head_dim to a sublane
+  multiple (hdp) makes `[H*hdp, E] -> [H, hdp, E]` a pure tile-aligned
+  reshape, scores are sublane reductions, and the probs*V accumulation is a
+  native sublane broadcast — all VPU work that overlaps the MXU phases;
+* LayerNorm is a sublane reduction per lane (per env), never touching HBM.
+
+T is static and small (BESO: 11-12 tokens); all token loops fully unroll.
+For long-context configs (chunked action models) use the flash-attention
+path instead — this kernel materializes [T, T, H, E] scores in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# environments per grid step (one full lane tile)
+ENV_BLOCK = 128
+
+
+class FusedLayerParams(NamedTuple):
+    """Per-layer weights, pre-transposed/padded for the [D, E] orientation.
+
+    hdp = head_dim padded up to a multiple of 16 (>=32) so per-head slices
+    are sublane-tile aligned in bf16 and f32. Padded weight rows/bias
+    entries are zero, so padded q/k/v entries are exactly zero and do not
+    perturb scores.
+    """
+
+    ln1_scale: jnp.ndarray   # [D, 1] f32
+    ln1_bias: jnp.ndarray    # [D, 1] f32
+    wqkv_t: jnp.ndarray      # [3*H*hdp, D]
+    bqkv: jnp.ndarray        # [3*H*hdp, 1] f32
+    wproj_t: jnp.ndarray     # [D, H*hdp]
+    bproj: jnp.ndarray       # [D, 1] f32
+    ln2_scale: jnp.ndarray   # [D, 1] f32
+    ln2_bias: jnp.ndarray    # [D, 1] f32
+    wfc_t: jnp.ndarray       # [F, D]   (F = 4*D)
+    bfc: jnp.ndarray         # [F, 1] f32
+    wfc2_t: jnp.ndarray      # [D, F]
+    bfc2: jnp.ndarray        # [D, 1] f32
+
+
+def padded_head_dim(head_dim: int) -> int:
+    """Sublane-aligned head dim: multiple of 16, minimum 32."""
+    return max(32, -(-head_dim // 16) * 16)
+
+
+def prepare_layer_params(wqkv, bqkv, wproj, bproj, wfc, bfc, wfc2, bfc2,
+                         ln1_scale, ln1_bias, ln2_scale, ln2_bias,
+                         n_heads: int, dtype=jnp.bfloat16) -> FusedLayerParams:
+    """Transpose + head-pad flax Dense kernels ([in, out] convention) into
+    the kernel's [out, in] orientation. Pure jnp; call once per model."""
+    D = wqkv.shape[0]
+    hd = D // n_heads
+    hdp = padded_head_dim(hd)
+
+    def pad_heads(w_out_cols):  # [D, H*hd] -> [D, H*hdp]
+        w = w_out_cols.reshape(D, n_heads, hd)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, hdp - hd)))
+        return w.reshape(D, n_heads * hdp)
+
+    def pad_heads_vec(b):       # [H*hd] -> [H*hdp]
+        b = b.reshape(n_heads, hd)
+        b = jnp.pad(b, ((0, 0), (0, hdp - hd)))
+        return b.reshape(n_heads * hdp)
+
+    q, k, v = jnp.split(wqkv, 3, axis=1)
+    bq, bk, bv = jnp.split(bqkv, 3)
+    wqkv_pad = jnp.concatenate([pad_heads(q), pad_heads(k), pad_heads(v)], 1)
+    bqkv_pad = jnp.concatenate([pad_heads_vec(bq), pad_heads_vec(bk),
+                                pad_heads_vec(bv)])
+    # proj consumes the padded y: zero rows for the padded head entries
+    wproj_pad = pad_heads(wproj.T).T  # [H*hdp, D] rows padded -> transpose ok
+
+    col = lambda b: b.astype(jnp.float32).reshape(-1, 1)
+    return FusedLayerParams(
+        ln1_scale=col(ln1_scale), ln1_bias=col(ln1_bias),
+        wqkv_t=wqkv_pad.T.astype(dtype), bqkv=col(bqkv_pad),
+        wproj_t=wproj_pad.T.astype(dtype), bproj=col(bproj),
+        ln2_scale=col(ln2_scale), ln2_bias=col(ln2_bias),
+        wfc_t=wfc.T.astype(dtype), bfc=col(bfc),
+        wfc2_t=wfc2.T.astype(dtype), bfc2=col(bfc2),
+    )
+
+
+def _layernorm(x, scale, bias, out_dtype):
+    """LN over the feature (sublane) axis of [D, E]; f32 statistics."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.mean(xf * xf, axis=0, keepdims=True) - mu * mu
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    return y.astype(out_dtype)
+
+
+def _matmul(w_t, x, bias, out_dtype):
+    """W^T @ x + b with f32 accumulation; [M, K] @ [K, E] -> [M, E]."""
+    y = jax.lax.dot_general(w_t, x, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return (y + bias).astype(out_dtype)
+
+
+def _layer_kernel(n_heads: int, head_dim: int, approximate_gelu: bool,
+                  unroll: int,
+                  # refs:
+                  ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+                  ln2s, ln2b, wfc, bfc, wfc2, bfc2,
+                  x_ref, o_ref, qkv_ref):
+    """Phase-split form: three token loops, each phase keeping one compute
+    unit hot (MXU: QKV | VPU: attention | MXU: proj+MLP) instead of
+    ping-ponging between units inside one serial token iteration.
+
+    Attention layout trick: scores live as [H, T, E] so softmax reductions
+    and the following broadcasts run along the sublane (T) axis — Mosaic
+    rejects leading-dim broadcasts after keepdims reductions as invalid
+    relayouts. Score accumulation is bf16 like the XLA broadcast path
+    (models/gpt.py), softmax itself is f32.
+    """
+    T = x_ref.shape[0]
+    H = n_heads
+    hdp = qkv_ref.shape[1] // (3 * H)
+    HD = H * hdp
+    E = x_ref.shape[2]
+    dtype = x_ref.dtype
+    scale = 1.0 / (head_dim ** 0.5)  # true head_dim, not padded
+
+    # ---- phase 1 (MXU): LN1 + fused QKV for every token ------------------
+    def qkv_body(i, _):
+        h = _layernorm(x_ref[i], ln1s[:], ln1b[:], dtype)
+        qkv_ref[i] = _matmul(wqkv[:], h, bqkv[:], dtype)
+        return 0
+
+    jax.lax.fori_loop(0, T, qkv_body, 0, unroll=unroll)
+
+    # ---- phase 2 (VPU): causal attention ---------------------------------
+    # The attention output overwrites token i's q slot in qkv_ref (q is
+    # consumed exactly once, and causality means later tokens never read
+    # earlier q) — no separate output buffer needed.
+    def attn_body(i, _):
+        tok = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+        k_ht = jnp.transpose(
+            qkv_ref[:, HD:2 * HD].reshape(T, H, hdp, E), (1, 0, 2, 3))
+        qi = qkv_ref[i, 0:HD].reshape(H, hdp, E)
+        s = jnp.sum(qi[:, None] * k_ht, axis=2)             # [H, T, E] bf16
+        s = jnp.where(tok <= i, s.astype(jnp.float32) * scale, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)               # [H, 1, E]
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        v_ht = jnp.transpose(
+            qkv_ref[:, 2 * HD:].reshape(T, H, hdp, E), (1, 0, 2, 3))
+        y = jnp.sum(p.astype(dtype)[:, :, None] * v_ht, axis=1)  # [H,hdp,E]
+        qkv_ref[i, 0:HD] = y.reshape(HD, E)
+        return 0
+
+    jax.lax.fori_loop(0, T, attn_body, 0, unroll=unroll)
+
+    # ---- phase 3 (MXU): proj + residual, LN2 + MLP + residual -------------
+    def mlp_body(i, _):
+        x1 = x_ref[i] + _matmul(wproj[:], qkv_ref[i, 0:HD], bproj[:], dtype)
+        h = _layernorm(x1, ln2s[:], ln2b[:], dtype)
+        h = _matmul(wfc[:], h, bfc[:], dtype)
+        h = jax.nn.gelu(h, approximate=approximate_gelu)
+        o_ref[i] = x1 + _matmul(wfc2[:], h, bfc2[:], dtype)
+        return 0
+
+    jax.lax.fori_loop(0, T, mlp_body, 0, unroll=unroll)
+
+
+def fused_layer(x: jnp.ndarray, p: FusedLayerParams, *, n_heads: int,
+                head_dim: int, approximate_gelu: bool = True,
+                env_block: int = ENV_BLOCK, unroll: int = 2,
+                interpret: bool = False) -> jnp.ndarray:
+    """Apply one fused transformer block to x: [T, D, B] -> [T, D, B].
+
+    B must be a multiple of `env_block`. T, D static; loops unroll.
+    """
+    T, D, B = x.shape
+    if B % env_block:
+        raise ValueError(f"B={B} not a multiple of env_block={env_block}")
+    HD = p.wqkv_t.shape[0] // 3
+    E = env_block
+
+    kern = functools.partial(_layer_kernel, n_heads, head_dim,
+                             approximate_gelu, unroll)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid = (B // E,)
+
+    def xmap(i):
+        return (0, 0, i)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[w_spec] * 12 + [
+            pl.BlockSpec((T, D, E), xmap, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T, D, E), xmap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, D, B), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T, 3 * HD, E), x.dtype),    # QKV cache / attn out
+        ],
+        interpret=interpret,
+    )(p.ln1_scale, p.ln1_bias, p.wqkv_t, p.bqkv, p.wproj_t, p.bproj,
+      p.ln2_scale, p.ln2_bias, p.wfc_t, p.bfc, p.wfc2_t, p.bfc2, x)
+
+
+def fused_layer_reference(x, p: FusedLayerParams, *, n_heads: int,
+                          head_dim: int, approximate_gelu: bool = True):
+    """Pure-jnp reference of the kernel math (same [T, D, B] layout), for
+    differential testing."""
+    T, D, B = x.shape
+    HD = p.wproj_t.shape[1]
+    hdp = HD // n_heads
+    dtype = x.dtype
+
+    def ln(v, s, b):
+        vf = v.astype(jnp.float32)
+        mu = vf.mean(0, keepdims=True)
+        var = (vf * vf).mean(0, keepdims=True) - mu * mu
+        return ((vf - mu) * jax.lax.rsqrt(var + 1e-5) * s + b).astype(dtype)
+
+    def mm(w_t, v, b, out_dtype=None):
+        y = jax.lax.dot_general(
+            w_t, v.reshape(v.shape[0], -1), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b
+        return y.astype(out_dtype or dtype)
+
+    h = jnp.stack([ln(x[i], p.ln1_scale, p.ln1_bias) for i in range(T)])
+    qkv = jnp.stack([mm(p.wqkv_t, h[i], p.bqkv) for i in range(T)])
+    q = qkv[:, 0:HD].reshape(T, n_heads, hdp, B).astype(jnp.float32)
+    k = qkv[:, HD:2 * HD].reshape(T, n_heads, hdp, B).astype(jnp.float32)
+    v = qkv[:, 2 * HD:].reshape(T, n_heads, hdp, B)
+    scores = jnp.einsum("ihde,jhde->ijhe", q, k) / (head_dim ** 0.5)
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    scores = jnp.where(mask[:, :, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=1).astype(dtype)
+    y = jnp.einsum("ijhe,jhde->ihde", probs, v).reshape(T, HD, B)
+    x1 = x + jnp.stack([mm(p.wproj_t, y[i], p.bproj) for i in range(T)])
+    h2 = jnp.stack([ln(x1[i], p.ln2_scale, p.ln2_bias) for i in range(T)])
+    hh = jnp.stack([mm(p.wfc_t, h2[i], p.bfc, jnp.float32) for i in range(T)])
+    hh = jax.nn.gelu(hh, approximate=approximate_gelu).astype(dtype)
+    return x1 + jnp.stack([mm(p.wfc2_t, hh[i], p.bfc2) for i in range(T)])

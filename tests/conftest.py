@@ -25,6 +25,7 @@ import pytest  # noqa: E402
 SLOW_TEST_MODULES = {
     "test_determinism",
     "test_extras",
+    "test_fused_inference",
     "test_fused_train",
     "test_kitchen_oracle",
     "test_models",
