@@ -7,10 +7,13 @@ JAX kitchen physics step — across thousands of parallel goal-conditioned
 environments, as ONE jit'd lax.scan.
 
 Also reported (VERDICT round-1 item 4):
-* `mfu` — model-FLOPs utilization: XLA's cost analysis of the denoiser
+* `mfu` — model-FLOPs utilization: XLA's cost analysis of the FULL denoiser
   forward (the deliberate FLOPs) x NFE x measured env-steps/s, divided by
-  the chip's peak bf16 throughput. Physics/bookkeeping FLOPs are excluded,
-  so this is a conservative utilization number.
+  the chip's peak bf16 throughput. Physics/bookkeeping FLOPs are excluded.
+  NOTE: the rollout runs the prefix-KV cached engine, which executes ~27%
+  fewer FLOPs than the full forward — mfu is therefore an *effective*
+  utilization (throughput normalized to the uncached FLOP count), the
+  apples-to-apples speed measure across engine changes.
 * `dp_efficiency` — when >1 device is visible, the dp-sharded rollout's
   per-device throughput relative to the single-device run (1.0 when only
   one chip is attached, as in the driver's bench environment).
@@ -99,10 +102,17 @@ def main():
     def denoise(s, a, g, sig):
         return den.apply(params, s, a, g, sig)
 
+    # prefix-KV cached engine (models/cached.py): the sigma/goal prefix
+    # tokens' K/V are computed once per rollout and reused for all
+    # n_steps x NFE denoiser calls (~10% rollout speedup at these shapes)
+    from beso_tpu.models import make_rollout_denoise_factory
+
+    factory = make_rollout_denoise_factory(den, params, scaler, cfg)
+
     @jax.jit
     def run(k):
         return rollout_kitchen(denoise, scaler, cfg, goals, expected, k,
-                               n_steps=n_steps)
+                               n_steps=n_steps, denoise_factory=factory)
 
     # warmup/compile
     run(jax.random.PRNGKey(1)).rewards.block_until_ready()
@@ -143,7 +153,7 @@ def main():
         @jax.jit
         def run_dp(k):
             return rollout_kitchen(denoise, scaler, cfg, goals_sh, exp_sh, k,
-                                   n_steps=n_steps)
+                                   n_steps=n_steps, denoise_factory=factory)
 
         with mesh:
             run_dp(jax.random.PRNGKey(7)).rewards.block_until_ready()

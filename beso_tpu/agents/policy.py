@@ -67,6 +67,16 @@ class PolicyConfig:
     aggregation: str = "single"  # 'single' | 'mean' | 'kde'
 
 
+def scale_goal_for_model(scaler: Scaler, goal: jnp.ndarray) -> jnp.ndarray:
+    """Goal preprocessing shared by policy_predict and the prefix-cache
+    factory: scale, then zero the non-block dims of 10-dim block-push goals
+    (base_agent.py:119-120)."""
+    goal_s = scaler.scale_input(goal)
+    if goal_s.shape[-1] == 10:
+        goal_s = goal_s.at[..., jnp.asarray([2, 5, 6, 7, 8, 9])].set(0.0)
+    return goal_s
+
+
 def policy_reset(batch_size: int, cfg: PolicyConfig) -> PolicyState:
     """Clear the rolling contexts (beso_agent.py:291-294)."""
     return PolicyState(
@@ -123,9 +133,7 @@ def policy_predict(
     # process_batch: scale inputs; 10-dim block-push goals get their
     # non-block dims zeroed (base_agent.py:119-120)
     obs_s = scaler.scale_input(obs)
-    goal_s = scaler.scale_input(goal)
-    if goal_s.shape[-1] == 10:
-        goal_s = goal_s.at[..., jnp.asarray([2, 5, 6, 7, 8, 9])].set(0.0)
+    goal_s = scale_goal_for_model(scaler, goal)
 
     obs_buf = _append_window(state.obs_buf, obs_s, state.count, W)
     count = state.count + 1

@@ -70,7 +70,7 @@ def _run_rollout(reset_fn, step_fn, obs_fn, n_tasks, completed_of,
                  goals, expected: jnp.ndarray, key,
                  n_steps: int, obs_slice: Optional[int],
                  result_divisor: float, order_of=None,
-                 reset_batch=None) -> RolloutMetrics:
+                 reset_batch=None, denoise_factory=None) -> RolloutMetrics:
     B = expected.shape[0]
     k_reset, k_roll = jax.random.split(key)
     if reset_batch is not None:  # e.g. known-start kitchen evaluation
@@ -80,6 +80,11 @@ def _run_rollout(reset_fn, step_fn, obs_fn, n_tasks, completed_of,
     obs0_full = jax.vmap(obs_fn)(env_state)
     if callable(goals):
         goals = goals(obs0_full)  # live-state-dependent goals (flip fix)
+    if denoise_factory is not None:
+        # per-episode specialized engine (e.g. the prefix-KV cache,
+        # models/cached.py) — built here, after goals are materialized,
+        # inside the rollout's jit region so the cache lives on device
+        denoise_fn = denoise_factory(goals)
     obs0 = obs0_full[:, :obs_slice] if obs_slice is not None else obs0_full
     pstate = policy_reset(B, cfg)
 
@@ -110,7 +115,8 @@ def rollout_kitchen(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
                     expected: jnp.ndarray,   # [B, 7] expected-task masks
                     key, n_steps: int = 280,
                     physics_params=None,
-                    init_qpos: Optional[jnp.ndarray] = None) -> RolloutMetrics:
+                    init_qpos: Optional[jnp.ndarray] = None,
+                    denoise_factory=None) -> RolloutMetrics:
     """Batched multigoal kitchen evaluation
     (kitchen_workspace_manager.py:213-316: 100 episodes x 280 steps).
 
@@ -139,7 +145,8 @@ def rollout_kitchen(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
         reset_fn, step_fn, kitchen_obs, 7,
         lambda s: s.completed, denoise_fn, scaler, cfg, goals, expected, key,
         n_steps, obs_slice=30, result_divisor=1.0,
-        order_of=lambda s: s.completion_order, reset_batch=reset_batch)
+        order_of=lambda s: s.completion_order, reset_batch=reset_batch,
+        denoise_factory=denoise_factory)
 
 
 def rollout_block_push(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
@@ -148,7 +155,8 @@ def rollout_block_push(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
                        key, n_steps: int = 300,
                        goal_seq_len: int = 1,
                        reduce_obs_dim: bool = True,
-                       mask_targets: bool = False) -> RolloutMetrics:
+                       mask_targets: bool = False,
+                       denoise_factory=None) -> RolloutMetrics:
     """Batched block-push evaluation (block_push_workspace.py:90-216:
     100 episodes x 300 steps; result = |completed ∩ expected| / 2).
 
@@ -171,4 +179,5 @@ def rollout_block_push(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
         block_push_reset, step_masked, block_push_obs, 4,
         lambda s: s.completed, denoise_fn, scaler, cfg, goals_builder,
         expected, key, n_steps,
-        obs_slice=10 if reduce_obs_dim else None, result_divisor=2.0)
+        obs_slice=10 if reduce_obs_dim else None, result_divisor=2.0,
+        denoise_factory=denoise_factory)

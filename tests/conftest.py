@@ -24,6 +24,7 @@ import pytest  # noqa: E402
 # the full suite stays under the 10 min CPU budget (run it before committing).
 SLOW_TEST_MODULES = {
     "test_determinism",
+    "test_cached_inference",
     "test_extras",
     "test_fused_inference",
     "test_fused_train",
