@@ -79,6 +79,8 @@ class BesoAgentConfig:
     # inference
     cond_lambda: float = 1.0
     compute_dtype: str = "float32"  # 'bfloat16' for MXU-friendly training
+    inference_engine: str = "auto"  # 'auto' | 'cached' | 'full' (see
+    #                                 make_denoise_factory / models/cached.py)
 
 
 class BesoAgent:
@@ -173,6 +175,30 @@ class BesoAgent:
     def make_denoise_fn(self, params=None):
         params = self.eval_params() if params is None else params
         return partial(self.denoiser.apply, params)
+
+    def make_denoise_factory(self, policy_cfg: PolicyConfig, params=None):
+        """Per-episode denoise-fn factory for the fused rollouts, or None.
+
+        `inference_engine` config knob: 'auto' (default) uses the prefix-KV
+        cached engine (models/cached.py, ~10% rollout speedup) whenever the
+        policy config is eligible (grid-sigma sampler, no churn, single
+        action sample) and silently falls back to the full forward
+        otherwise; 'cached' requires eligibility (raises if not);
+        'full' always uses the plain flax forward.
+        """
+        engine = self.cfg.inference_engine
+        if engine == "full":
+            return None
+        from beso_tpu.models.cached import make_rollout_denoise_factory
+
+        params = self.eval_params() if params is None else params
+        try:
+            return make_rollout_denoise_factory(self.denoiser, params,
+                                                self.scaler, policy_cfg)
+        except (ValueError, NotImplementedError):
+            if engine == "cached":
+                raise
+            return None  # auto: ineligible sampler/config -> full forward
 
     def policy_config(self, **overrides) -> PolicyConfig:
         base = dict(

@@ -105,13 +105,15 @@ class BlockPushWorkspace(BaseWorkspace):
             self.full_data, self.eval_n_times, self.seed, self.train_fraction)
         cfg = self._policy_cfg(agent, extra_args=extra_args, **overrides)
         denoise = agent.make_denoise_fn()
+        factory = agent.make_denoise_factory(cfg)
         metrics = jax.jit(
             lambda k: rollout_block_push(
                 denoise, agent.scaler, cfg, jnp.asarray(frames),
                 jnp.asarray(expected), k, n_steps=self.eval_n_steps,
                 goal_seq_len=self.goal_seq_len,
                 reduce_obs_dim=self.reduce_obs_dim,
-                mask_targets=self.mask_targets)
+                mask_targets=self.mask_targets,
+                denoise_factory=factory)
         )(key)
         rewards = np.asarray(metrics.rewards)
         results = np.asarray(metrics.results)

@@ -134,12 +134,14 @@ class FrankaKitchenWorkspace(BaseWorkspace):
                 pool[np.arange(self.eval_n_times) % len(pool)])
         cfg = self._policy_cfg(agent, extra_args=extra_args, **overrides)
         denoise = agent.make_denoise_fn()
+        factory = agent.make_denoise_factory(cfg)
         metrics = jax.jit(
             lambda k: rollout_kitchen(denoise, agent.scaler, cfg,
                                       jnp.asarray(goals), jnp.asarray(expected),
                                       k, n_steps=self.eval_n_steps,
                                       physics_params=physics_params,
-                                      init_qpos=starts)
+                                      init_qpos=starts,
+                                      denoise_factory=factory)
         )(key)
         return self.compute_performance(metrics, expected, "multigoal",
                                         log_metrics)

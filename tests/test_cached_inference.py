@@ -131,3 +131,41 @@ class TestRolloutFactory:
                 den, params, scaler,
                 PolicyConfig(n_action_samples=4, **base))
         assert "ddim" in CACHED_SAFE_SAMPLERS
+
+
+class TestAgentEngineSelection:
+    def _agent(self, **cfg_kw):
+        from beso_tpu.agents.beso_agent import BesoAgent, BesoAgentConfig
+        from beso_tpu.data import synthetic_kitchen_data
+        from beso_tpu.models import fit_scaler
+
+        data = synthetic_kitchen_data(n_traj=2, t_max=20)
+        scaler = fit_scaler(data.all_observations(), data.all_actions())
+        cfg = BesoAgentConfig(hidden_dim=36, n_layers=1, n_heads=3,
+                              max_train_steps=1, **cfg_kw)
+        agent = BesoAgent(cfg, scaler)
+        batch = {
+            "observation": jnp.zeros((2, cfg.window_size, cfg.obs_dim)),
+            "action": jnp.zeros((2, cfg.window_size, cfg.action_dim)),
+            "goal_observation": jnp.zeros((2, cfg.goal_seq_len, cfg.obs_dim)),
+        }
+        agent.init(jax.random.PRNGKey(0), batch)
+        return agent
+
+    def test_auto_uses_cached_for_ddim(self):
+        agent = self._agent()
+        assert agent.make_denoise_factory(agent.policy_config()) is not None
+
+    def test_auto_falls_back_for_ancestral(self):
+        agent = self._agent(sampler_type="euler_ancestral")
+        assert agent.make_denoise_factory(agent.policy_config()) is None
+
+    def test_full_disables(self):
+        agent = self._agent(inference_engine="full")
+        assert agent.make_denoise_factory(agent.policy_config()) is None
+
+    def test_cached_raises_when_ineligible(self):
+        agent = self._agent(sampler_type="euler_ancestral",
+                            inference_engine="cached")
+        with pytest.raises(ValueError):
+            agent.make_denoise_factory(agent.policy_config())
