@@ -34,6 +34,7 @@ SLOW_TEST_MODULES = {
     "test_reference_parity",
     "test_rollout",
     "test_studies",
+    "test_sweep",
     "test_train",
     "test_video_metrics",
     "test_workspaces",
