@@ -39,6 +39,42 @@ def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
     return Mesh(arr, ("dp", "tp"))
 
 
+def make_multislice_mesh(n_slices: int, tp: int = 1,
+                         devices=None) -> Mesh:
+    """('dcn', 'dp', 'tp') mesh for multi-slice (multi-pod-segment) scaling.
+
+    Axis placement follows the DCN/ICI hierarchy: only the OUTER 'dcn' axis
+    crosses the data-center network; 'dp'/'tp' stay on ICI within a slice.
+    Batches shard over ('dcn', 'dp') — the per-step cross-slice traffic is
+    the gradient all-reduce over 'dcn' only (params are dp/tp-sharded the
+    same way inside every slice), which is the standard multislice DP
+    recipe. On real multislice TPU hardware the device order comes from
+    `mesh_utils.create_hybrid_device_mesh` (slice-aware); on a flat
+    single-slice or virtual CPU mesh it falls back to a reshape, which is
+    functionally identical (and exercises the same collectives).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % n_slices == 0, f"{n} devices not divisible into {n_slices} slices"
+    per_slice = n // n_slices
+    assert per_slice % tp == 0, f"{per_slice} per-slice devices vs tp={tp}"
+    dp = per_slice // tp
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, dp, tp), dcn_mesh_shape=(n_slices, 1, 1),
+            devices=devices)
+    except Exception:  # virtual CPU mesh / single-slice: flat reshape
+        arr = np.asarray(devices).reshape(n_slices, dp, tp)
+    return Mesh(arr, ("dcn", "dp", "tp"))
+
+
+def data_axes(mesh: Mesh) -> tuple:
+    """The mesh axes the batch/env dimension shards over."""
+    return tuple(a for a in ("dcn", "dp") if a in mesh.axis_names)
+
+
 # TP partitioning rules for DiffusionGPT parameters:
 # attention qkv / mlp fc split their OUTPUT features over 'tp';
 # attention proj / mlp fc_proj split their INPUT features over 'tp'
@@ -80,8 +116,9 @@ def partition_params(params: Any, mesh: Mesh) -> Any:
 
 
 def partition_batch(batch: Any, mesh: Mesh) -> Any:
-    """Shard the leading (batch/env) dimension over 'dp'."""
-    sh = NamedSharding(mesh, P("dp"))
+    """Shard the leading (batch/env) dimension over all data axes
+    ('dp', plus 'dcn' on a multislice mesh)."""
+    sh = NamedSharding(mesh, P(data_axes(mesh)))
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
