@@ -102,12 +102,15 @@ def main():
     def denoise(s, a, g, sig):
         return den.apply(params, s, a, g, sig)
 
-    # prefix-KV cached engine (models/cached.py): the sigma/goal prefix
-    # tokens' K/V are computed once per rollout and reused for all
-    # n_steps x NFE denoiser calls (~10% rollout speedup at these shapes)
+    # prefix-KV cached engine + fused Pallas suffix layers (models/cached.py
+    # + models/fused.py): the sigma/goal prefix tokens' K/V are computed once
+    # per rollout; each denoiser call runs only the 2T suffix tokens through
+    # the in-VMEM fused layers ('fused_cached' falls back to 'cached' when
+    # more than one device is attached)
     from beso_tpu.models import make_rollout_denoise_factory
 
-    factory = make_rollout_denoise_factory(den, params, scaler, cfg)
+    factory = make_rollout_denoise_factory(den, params, scaler, cfg,
+                                           engine="fused_cached")
 
     @jax.jit
     def run(k):

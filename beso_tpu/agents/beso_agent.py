@@ -184,6 +184,8 @@ class BesoAgent:
         policy config is eligible (grid-sigma sampler, no churn, single
         action sample) and silently falls back to the full forward
         otherwise; 'cached' requires eligibility (raises if not);
+        'fused_cached' additionally runs the suffix tokens through the
+        fused Pallas layers (models/fused.py; single device only);
         'full' always uses the plain flax forward.
         """
         engine = self.cfg.inference_engine
@@ -193,8 +195,10 @@ class BesoAgent:
 
         params = self.eval_params() if params is None else params
         try:
-            return make_rollout_denoise_factory(self.denoiser, params,
-                                                self.scaler, policy_cfg)
+            return make_rollout_denoise_factory(
+                self.denoiser, params, self.scaler, policy_cfg,
+                engine="fused_cached" if engine == "fused_cached"
+                else "cached")
         except (ValueError, NotImplementedError):
             if engine == "cached":
                 raise

@@ -233,7 +233,8 @@ def suffix_forward(model, rp: RawGPTParams, prefix: PrefixKV,
     return pred.astype(jnp.float32)
 
 
-def make_rollout_denoise_factory(den, params: Any, scaler, cfg):
+def make_rollout_denoise_factory(den, params: Any, scaler, cfg,
+                                 engine: str = "cached"):
     """Per-episode denoise-fn factory for the fused rollouts.
 
     Returns `factory(goals_raw) -> dn` for `rollout_*.denoise_factory`:
@@ -263,6 +264,8 @@ def make_rollout_denoise_factory(den, params: Any, scaler, cfg):
                                 cfg.sigma_max, cfg.rho,
                                 cfg.noise_scheduler)[:-1]  # drop appended 0
 
+    use_fused = engine == "fused_cached" and jax.device_count() == 1
+
     def factory(goals_raw):
         g_s = scale_goal_for_model(scaler, jnp.asarray(goals_raw))
         if cfg.cond_lambda == 0.0:
@@ -272,6 +275,12 @@ def make_rollout_denoise_factory(den, params: Any, scaler, cfg):
             g_model = jnp.concatenate([g_s, jnp.zeros_like(g_s)], axis=0)
         else:
             g_model = g_s
+        if use_fused:
+            # Pallas suffix layers on top of the prefix cache (single
+            # device only — the kernel is not validated under sharding)
+            from beso_tpu.models.fused import make_fused_cached_denoise_fn
+
+            return make_fused_cached_denoise_fn(den, params, g_model, sigmas)
         return make_cached_denoise_fn(den, params, g_model, sigmas)
 
     return factory

@@ -160,6 +160,110 @@ def fused_gpt_apply(model, fp: FusedGPTParams, states, actions, goals, sigma,
     return pred.astype(jnp.float32)
 
 
+def make_fused_cached_denoise_fn(den, params: Any, goals_scaled, sigmas, *,
+                                 env_block: int = ENV_BLOCK,
+                                 interpret: Optional[bool] = None):
+    """Combined engine: prefix-KV caching (models/cached.py) + the fused
+    Pallas suffix layers. Per episode, the [sigma, goal] prefix K/V are
+    built once per grid sigma (XLA, cheap); every denoiser call then runs
+    only the 2T suffix tokens through `fused_layer_with_prefix`, keeping
+    LayerNorms, attention and the MLP in VMEM.
+
+    Same gating as the cached engine: grid-sigma samplers only. Returned
+    `dn(states, actions, goals_ignored, sigma)` is EDM-preconditioned.
+    """
+    from beso_tpu.models.cached import build_prefix, extract_gpt_params
+    from beso_tpu.ops.fused_layer import (fused_layer_with_prefix,
+                                          padded_head_dim)
+
+    model = den.inner_model
+    fp = prepare_fused_gpt(model, params)
+    rp = extract_gpt_params(model, params)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = model.dtype
+    H = model.n_heads
+    hd = model.embed_dim // H
+    hdp = padded_head_dim(hd)
+    D = model.embed_dim
+    G = model.eff_goal_len
+
+    # pad the episode batch up to an env-block multiple once, here, so the
+    # per-call padding lines up with the cache
+    goals_scaled = jnp.asarray(goals_scaled)
+    B0 = goals_scaled.shape[0]
+    Bp0 = -(-B0 // env_block) * env_block
+    if Bp0 != B0:
+        goals_scaled = jnp.pad(goals_scaled,
+                               ((0, Bp0 - B0), (0, 0), (0, 0)))
+    prefix = build_prefix(model, rp, goals_scaled, jnp.asarray(sigmas))
+    # [S, L, B, P, H, hd] -> [S, L, P, H*hdp, B] (kernel layout, zero pad)
+    def to_kernel_layout(kv):
+        kv = jnp.pad(kv, ((0, 0),) * 5 + ((0, hdp - hd),))
+        S, L, B, P = kv.shape[:4]
+        return kv.transpose(0, 1, 3, 4, 5, 2).reshape(S, L, P, H * hdp, B) \
+                 .astype(dtype)
+
+    pk_all = to_kernel_layout(prefix.k)
+    pv_all = to_kernel_layout(prefix.v)
+    B_pref = pk_all.shape[-1]
+
+    def inner(states, actions, sigma):
+        B, T, _ = states.shape
+        idx = jnp.argmin(jnp.abs(
+            jnp.log(jnp.maximum(sigma[0], 1e-12))
+            - jnp.log(jnp.maximum(prefix.sigmas, 1e-12))))
+
+        def dense(x, w, b):
+            y = jnp.dot(x.astype(dtype), w.astype(dtype),
+                        preferred_element_type=jnp.float32)
+            return (y + b).astype(dtype)
+
+        state_x = dense(states, fp.tok_w, fp.tok_b) + fp.pos_emb[:, G:G + T, :]
+        action_x = dense(actions, fp.act_w, fp.act_b) + fp.pos_emb[:, G:G + T, :]
+        seq = jnp.stack([state_x, action_x], axis=2).reshape(B, 2 * T, D)
+        seq = seq.astype(dtype)
+
+        Bp = -(-B // env_block) * env_block
+        if Bp != B:
+            seq = jnp.pad(seq, ((0, Bp - B), (0, 0), (0, 0)))
+        if B_pref != Bp:
+            raise ValueError(
+                f"prefix cache batch {B_pref} != padded call batch {Bp}")
+
+        x = seq.transpose(1, 2, 0)  # [2T, D, B]
+        for li, lp in enumerate(fp.layers):
+            x = fused_layer_with_prefix(
+                x, pk_all[idx, li], pv_all[idx, li], lp, n_heads=H,
+                head_dim=hd, approximate_gelu=model.approximate_gelu,
+                env_block=env_block, interpret=interpret)
+        x = x.transpose(2, 0, 1)[:B]  # [B, 2T, D]
+
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = (xf * xf).mean(-1, keepdims=True) - mu * mu
+        x = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * fp.lnf_scale
+             + fp.lnf_bias).astype(dtype)
+        x = x.reshape(B, T, 2, D)[:, :, 1, :]
+        if model.linear_output:
+            w, b = fp.head
+            pred = jnp.dot(x.astype(jnp.float32), w.astype(jnp.float32)) + b
+        else:
+            w1, b1, w2, b2 = fp.head
+            h = jax.nn.silu(dense(x, w1, b1))
+            pred = jnp.dot(h.astype(jnp.float32), w2.astype(jnp.float32)) + b2
+        return pred.astype(jnp.float32)
+
+    def dn(states, actions, goals, sigma, **kwargs):
+        del goals, kwargs
+        c_skip, c_out, c_in = [append_dims(c, actions.ndim)
+                               for c in edm_scalings(sigma, den.sigma_data)]
+        out = inner(states, actions * c_in, sigma)
+        return out * c_out + actions * c_skip
+
+    return dn
+
+
 def make_fused_denoise_fn(den, params: Any, *, env_block: int = ENV_BLOCK,
                           interpret: Optional[bool] = None):
     """Build `denoise_fn(states, actions, goals, sigma)` == den.apply(...)

@@ -192,13 +192,118 @@ def _layer_kernel(n_heads: int, head_dim: int, approximate_gelu: bool,
     jax.lax.fori_loop(0, T, mlp_body, 0, unroll=unroll)
 
 
+def _layer_kernel_prefix(n_heads: int, head_dim: int, approximate_gelu: bool,
+                         unroll: int,
+                         # refs:
+                         ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+                         ln2s, ln2b, wfc, bfc, wfc2, bfc2,
+                         pk_ref, pv_ref, x_ref, o_ref, qkv_ref):
+    """Prefix-KV variant: suffix tokens attend to cached prefix K/V
+    ([P, H*hdp, E] refs, fully visible to every query) plus their own
+    causal K/V. The softmax streams over the two pieces (shared max,
+    summed normalizer) so no sublane concatenation is needed."""
+    T = x_ref.shape[0]
+    P = pk_ref.shape[0]
+    H = n_heads
+    hdp = qkv_ref.shape[1] // (3 * H)
+    HD = H * hdp
+    E = x_ref.shape[2]
+    dtype = x_ref.dtype
+    scale = 1.0 / (head_dim ** 0.5)
+
+    def qkv_body(i, _):
+        h = _layernorm(x_ref[i], ln1s[:], ln1b[:], dtype)
+        qkv_ref[i] = _matmul(wqkv[:], h, bqkv[:], dtype)
+        return 0
+
+    jax.lax.fori_loop(0, T, qkv_body, 0, unroll=unroll)
+
+    def attn_body(i, _):
+        tok = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+        qi = qkv_ref[i, 0:HD].reshape(H, hdp, E)
+        pk3 = jnp.transpose(pk_ref[:].reshape(P, H, hdp, E), (1, 0, 2, 3))
+        s_p = (jnp.sum(qi[:, None] * pk3, axis=2)
+               .astype(jnp.float32) * scale)                # [H, P, E]
+        k_ht = jnp.transpose(
+            qkv_ref[:, HD:2 * HD].reshape(T, H, hdp, E), (1, 0, 2, 3))
+        s_o = jnp.sum(qi[:, None] * k_ht, axis=2)           # [H, T, E]
+        s_o = jnp.where(tok <= i, s_o.astype(jnp.float32) * scale, -jnp.inf)
+        m = jnp.maximum(jnp.max(s_p, axis=1, keepdims=True),
+                        jnp.max(s_o, axis=1, keepdims=True))
+        e_p = jnp.exp(s_p - m)
+        e_o = jnp.exp(s_o - m)
+        inv = 1.0 / (jnp.sum(e_p, axis=1, keepdims=True)
+                     + jnp.sum(e_o, axis=1, keepdims=True))
+        pv3 = jnp.transpose(pv_ref[:].reshape(P, H, hdp, E), (1, 0, 2, 3))
+        v_ht = jnp.transpose(
+            qkv_ref[:, 2 * HD:].reshape(T, H, hdp, E), (1, 0, 2, 3))
+        y = (jnp.sum((e_p * inv).astype(dtype)[:, :, None] * pv3, axis=1)
+             + jnp.sum((e_o * inv).astype(dtype)[:, :, None] * v_ht, axis=1))
+        qkv_ref[i, 0:HD] = y.reshape(HD, E)
+        return 0
+
+    jax.lax.fori_loop(0, T, attn_body, 0, unroll=unroll)
+
+    def mlp_body(i, _):
+        x1 = x_ref[i] + _matmul(wproj[:], qkv_ref[i, 0:HD], bproj[:], dtype)
+        h = _layernorm(x1, ln2s[:], ln2b[:], dtype)
+        h = _matmul(wfc[:], h, bfc[:], dtype)
+        h = jax.nn.gelu(h, approximate=approximate_gelu)
+        o_ref[i] = x1 + _matmul(wfc2[:], h, bfc2[:], dtype)
+        return 0
+
+    jax.lax.fori_loop(0, T, mlp_body, 0, unroll=unroll)
+
+
+def fused_layer_with_prefix(x: jnp.ndarray, pk: jnp.ndarray, pv: jnp.ndarray,
+                            p: FusedLayerParams, *, n_heads: int,
+                            head_dim: int, approximate_gelu: bool = True,
+                            env_block: int = ENV_BLOCK, unroll: int = 1,
+                            interpret: bool = False) -> jnp.ndarray:
+    """One fused block over suffix tokens x [T, D, B] attending to cached
+    prefix K/V pk/pv [P, H*hdp, B] (head-dim padded like the layer params,
+    zero in the pad rows)."""
+    T, D, B = x.shape
+    if B % env_block:
+        raise ValueError(f"B={B} not a multiple of env_block={env_block}")
+    HD = p.wqkv_t.shape[0] // 3
+    P = pk.shape[0]
+    E = env_block
+
+    kern = functools.partial(_layer_kernel_prefix, n_heads, head_dim,
+                             approximate_gelu, unroll)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid = (B // E,)
+
+    def xmap(i):
+        return (0, 0, i)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[w_spec] * 12 + [
+            pl.BlockSpec((P, HD, E), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, HD, E), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, D, E), xmap, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T, D, E), xmap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, D, B), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T, 3 * HD, E), x.dtype),    # QKV cache / attn out
+        ],
+        interpret=interpret,
+    )(p.ln1_scale, p.ln1_bias, p.wqkv_t, p.bqkv, p.wproj_t, p.bproj,
+      p.ln2_scale, p.ln2_bias, p.wfc_t, p.bfc, p.wfc2_t, p.bfc2, pk, pv, x)
+
+
 def fused_layer(x: jnp.ndarray, p: FusedLayerParams, *, n_heads: int,
                 head_dim: int, approximate_gelu: bool = True,
-                env_block: int = ENV_BLOCK, unroll: int = 2,
+                env_block: int = ENV_BLOCK, unroll: int = 1,
                 interpret: bool = False) -> jnp.ndarray:
     """Apply one fused transformer block to x: [T, D, B] -> [T, D, B].
 
-    B must be a multiple of `env_block`. T, D static; loops unroll.
+    B must be a multiple of `env_block`. T, D static. NOTE: Mosaic only
+    supports unroll=1 or full unroll of fori_loop, and full unroll blows
+    the VMEM value stack at these shapes — keep unroll=1 on hardware.
     """
     T, D, B = x.shape
     if B % env_block:

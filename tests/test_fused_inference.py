@@ -147,3 +147,71 @@ class TestFusedGPT:
         out_r = sample_ddim(lambda x_, sg: ref_denoise(s, x_, g, sg), x, sigmas)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestFusedCached:
+    """Combined engine: prefix-KV cache + fused Pallas suffix layers."""
+
+    def test_matches_flax_on_grid_sigmas(self):
+        from beso_tpu.models.fused import make_fused_cached_denoise_fn
+
+        model = DiffusionGPT(**KITCHEN)
+        den = GCDenoiser(model, sigma_data=0.5)
+        s, a, g, sig, k = _inputs(KITCHEN, B=8, key=11)
+        params = den.init(k, s, a, g, sig)
+        sigmas = jnp.asarray([1.0, 0.18, 0.032])
+        dn = make_fused_cached_denoise_fn(den, params, g, sigmas,
+                                          env_block=8, interpret=True)
+        for sg in [1.0, 0.18, 0.032]:
+            sig_b = jnp.full((8,), sg)
+            ref = den.apply(params, s, a, g, sig_b)
+            out = dn(s, a, g, sig_b)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_rollout_metrics_match_cached(self):
+        """fused_cached and cached engines agree end-to-end in a rollout."""
+        from beso_tpu.agents.policy import PolicyConfig
+        from beso_tpu.data import synthetic_kitchen_data
+        from beso_tpu.envs.kitchen.goals import multigoal_kitchen_goals
+        from beso_tpu.models import fit_scaler
+        from beso_tpu.models.cached import make_rollout_denoise_factory
+        from beso_tpu.rollout import rollout_kitchen
+        import beso_tpu.models.fused as mf
+        import functools
+
+        model = DiffusionGPT(state_dim=30, action_dim=9, embed_dim=72,
+                             n_layers=2, n_heads=6, goal_seq_len=2,
+                             obs_seq_len=4)
+        den = GCDenoiser(model, sigma_data=0.5)
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        params = den.init(ks[0], jnp.zeros((2, 4, 30)), jnp.zeros((2, 4, 9)),
+                          jnp.zeros((2, 2, 30)), jnp.full((2,), 0.5))
+        data = synthetic_kitchen_data(n_traj=4, t_max=30)
+        scaler = fit_scaler(data.all_observations(), data.all_actions())
+        goals, expected = multigoal_kitchen_goals(data, 2, 4, seed=0)
+        goals, expected = jnp.asarray(goals), jnp.asarray(expected)
+        cfg = PolicyConfig(window_size=4, obs_dim=30, action_dim=9,
+                           num_sampling_steps=2, sigma_min=0.005)
+
+        def dn(s, a, g, sig):
+            return den.apply(params, s, a, g, sig)
+
+        # force small env_block for the 4-env CPU test
+        orig = mf.make_fused_cached_denoise_fn
+        mf_small = functools.partial(orig, env_block=4)
+        mf.make_fused_cached_denoise_fn = mf_small
+        try:
+            f_cached = make_rollout_denoise_factory(den, params, scaler, cfg,
+                                                    engine="cached")
+            f_fused = make_rollout_denoise_factory(den, params, scaler, cfg,
+                                                   engine="fused_cached")
+            key = jax.random.PRNGKey(3)
+            m1 = rollout_kitchen(dn, scaler, cfg, goals, expected, key,
+                                 n_steps=3, denoise_factory=f_cached)
+            m2 = rollout_kitchen(dn, scaler, cfg, goals, expected, key,
+                                 n_steps=3, denoise_factory=f_fused)
+        finally:
+            mf.make_fused_cached_denoise_fn = orig
+        np.testing.assert_allclose(np.asarray(m2.rewards),
+                                   np.asarray(m1.rewards), atol=1e-4)
