@@ -20,3 +20,4 @@ from beso_tpu.sampling.samplers import (
 from beso_tpu.sampling.dpm_solver import sample_dpm_adaptive, sample_dpm_fast
 from beso_tpu.sampling.lms import linear_multistep_coeff, lms_coefficient_matrix
 from beso_tpu.sampling.likelihood import log_likelihood
+from beso_tpu.sampling.parallel import sample_picard
