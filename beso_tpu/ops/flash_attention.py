@@ -1,14 +1,18 @@
-"""Causal flash attention as a Pallas TPU kernel.
+"""Causal flash attention as Pallas TPU kernels (forward + backward).
 
 BESO's shipped policies attend over ~11 tokens, where attention is cheapest
 on the VPU (see models/gpt.py) — but action-chunking variants (longer action
 horizons, the natural successor configuration) push the token count to
 O(100-1000), where materializing [B, H, T, T] scores becomes HBM-bound. This
-kernel computes online-softmax attention with the canonical flash recurrence,
-streaming K/V blocks through VMEM: no TxT materialization, one HBM pass.
+module computes online-softmax attention with the canonical flash
+recurrence, streaming K/V blocks through VMEM: no TxT materialization, one
+HBM pass — in BOTH directions. The forward stores the per-row logsumexp;
+the backward recomputes probabilities blockwise (FlashAttention-2 recipe:
+one kernel accumulating dQ over key blocks, one accumulating dK/dV over
+query blocks), so training memory is O(T) like inference.
 
-Layout: grid over (batch*heads, query blocks); K/V for the (batch, head) row
-live in VMEM (fine up to T ~ 4k at hd <= 128). Causal masking is done with
+Layout: grid over (batch*heads, query/key blocks); K/V for the (batch,
+head) row live in VMEM (fine up to T ~ 4k at hd <= 128). Causal masking is
 block-index arithmetic. Use `interpret=True` for CPU tests.
 """
 
@@ -27,8 +31,8 @@ DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
-                  sm_scale: float, causal: bool, seq_len: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q: int,
+                  block_k: int, sm_scale: float, causal: bool, seq_len: int):
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * sm_scale          # [block_q, hd]
     hd = q.shape[-1]
@@ -67,6 +71,86 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q: int, block_k: int,
 
     m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m, l, acc))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # logsumexp of the SCALED scores, for the backward recomputation
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, block_q: int, block_k: int, sm_scale: float,
+                   causal: bool, seq_len: int):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * sm_scale          # [bq, hd]
+    do = do_ref[0].astype(jnp.float32)                   # [bq, hd]
+    lse = lse_ref[0]                                     # [bq, 1]
+    delta = delta_ref[0]                                 # [bq, 1]
+    hd = q.shape[-1]
+
+    k_upper = (qi + 1) * block_q if causal else seq_len
+    num_k_blocks = pl.cdiv(k_upper, block_k)
+
+    def body(kj, dq):
+        k = k_ref[0, pl.ds(kj * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kj * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        k_ids = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        if causal:
+            q_ids = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        s = jnp.where(k_ids < seq_len, s, NEG_INF)
+        p = jnp.exp(s - lse)                             # [bq, bk]
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k_blocks, body,
+                           jnp.zeros((block_q, hd), jnp.float32))
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, block_q: int, block_k: int,
+                    sm_scale: float, causal: bool, seq_len: int):
+    kj = pl.program_id(1)
+    k = k_ref[0].astype(jnp.float32)                     # [bk, hd]
+    v = v_ref[0].astype(jnp.float32)                     # [bk, hd]
+    hd = k.shape[-1]
+    Tp = q_ref.shape[1]
+    num_q_blocks = Tp // block_q
+    q_lower = (kj * block_k) // block_q if causal else 0
+
+    def body(qi, carry):
+        dk, dv = carry
+        q = (q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+             * sm_scale)
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q), :]
+        delta = delta_ref[0, pl.ds(qi * block_q, block_q), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        q_ids = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_ids = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        # mask p (not s): padded query rows carry lse ~ -inf, for which
+        # exp(s - lse) would be 1 instead of 0 and pollute dK/dV
+        mask = (k_ids < seq_len) & (q_ids < seq_len)
+        if causal:
+            mask = mask & (q_ids >= k_ids)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        q_lower, num_q_blocks, body,
+        (jnp.zeros((block_k, hd), jnp.float32),
+         jnp.zeros((block_k, hd), jnp.float32)))
+    # dk accumulated against scaled q; one more sm_scale gives d(raw k)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
@@ -77,55 +161,115 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
     """q, k, v: [B, H, T, hd] -> [B, H, T, hd], softmax(QK^T/sqrt(hd))V.
 
-    Differentiable: the forward streams through the Pallas kernel; the
-    backward is the standard attention VJP in XLA einsums (it materializes
-    the TxT score matrix, so training memory is O(T^2) while inference
-    stays O(T) — fine at action-chunking sizes; a Pallas backward kernel is
-    the upgrade path for multi-thousand-token training).
+    Differentiable with O(T) memory in both directions: forward and
+    backward both run as Pallas kernels (FlashAttention-2 backward with
+    blockwise probability recomputation from the saved logsumexp).
     """
     return _flash_attention_vjp(q, k, v, causal, block_q, block_k, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_attention_vjp(q, k, v, causal, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, causal, block_q, block_k, interpret)
+    out, _ = _flash_forward(q, k, v, causal, block_q, block_k, interpret)
+    return out
 
 
 def _flash_attention_fwd(q, k, v, causal, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, causal, block_q, block_k, interpret)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, causal, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_attention_bwd(causal, block_q, block_k, interpret, res, g):
-    q, k, v = res
-    hd = q.shape[-1]
-    scale = 1.0 / math.sqrt(hd)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    if causal:
-        T = q.shape[2]
-        mask = jnp.tril(jnp.ones((T, T), bool))
-        s = jnp.where(mask[None, None], s, NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    q, k, v, out, lse = res
+    B, H, T, hd = q.shape
+    sm_scale = 1.0 / math.sqrt(hd)
+    block_q = min(block_q, _round_up(T, 8))
+    block_k = min(block_k, _round_up(T, 8))
+    pad = (-T) % max(block_q, block_k)
+    if pad:
+        zero = jnp.zeros((B, H, pad, hd), q.dtype)
+        q = jnp.concatenate([q, zero], axis=2)
+        k = jnp.concatenate([k, zero], axis=2)
+        v = jnp.concatenate([v, zero], axis=2)
+        g = jnp.concatenate([g.astype(q.dtype), zero], axis=2)
+        out = jnp.concatenate([out, zero], axis=2)
+        lse = jnp.concatenate(
+            [lse, jnp.zeros((B, H, pad, 1), lse.dtype)], axis=2)
+    else:
+        g = g.astype(q.dtype)
+    Tp = T + pad
+    BH = B * H
+    qf = q.reshape(BH, Tp, hd)
+    kf = k.reshape(BH, Tp, hd)
+    vf = v.reshape(BH, Tp, hd)
+    gf = g.reshape(BH, Tp, hd)
+    of = out.reshape(BH, Tp, hd)
+    lsef = lse.reshape(BH, Tp, 1)
+
+    # delta_i = rowsum(dO_i * O_i) — cheap XLA elementwise+reduce
+    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+
+    row = lambda b, i: (b, 0, 0)
+    blk = lambda b, i: (b, i, 0)
+    dq_kernel = functools.partial(_bwd_dq_kernel, block_q=block_q,
+                                  block_k=block_k, sm_scale=sm_scale,
+                                  causal=causal, seq_len=T)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(BH, Tp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), blk),
+            pl.BlockSpec((1, Tp, hd), row),
+            pl.BlockSpec((1, Tp, hd), row),
+            pl.BlockSpec((1, block_q, hd), blk),
+            pl.BlockSpec((1, block_q, 1), blk),
+            pl.BlockSpec((1, block_q, 1), blk),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), blk),
+        out_shape=jax.ShapeDtypeStruct((BH, Tp, hd), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lsef, delta)
+
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, block_q=block_q,
+                                   block_k=block_k, sm_scale=sm_scale,
+                                   causal=causal, seq_len=T)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(BH, Tp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, Tp, hd), row),
+            pl.BlockSpec((1, block_k, hd), blk),
+            pl.BlockSpec((1, block_k, hd), blk),
+            pl.BlockSpec((1, Tp, hd), row),
+            pl.BlockSpec((1, Tp, 1), row),
+            pl.BlockSpec((1, Tp, 1), row),
+        ],
+        out_specs=(pl.BlockSpec((1, block_k, hd), blk),
+                   pl.BlockSpec((1, block_k, hd), blk)),
+        out_shape=(jax.ShapeDtypeStruct((BH, Tp, hd), q.dtype),
+                   jax.ShapeDtypeStruct((BH, Tp, hd), q.dtype)),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lsef, delta)
+
+    to4 = lambda x: x.reshape(B, H, Tp, hd)[:, :, :T, :]
+    return to4(dq), to4(dk), to4(dv)
 
 
 _flash_attention_vjp.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    causal: bool, block_q: int, block_k: int,
-                   interpret: bool) -> jnp.ndarray:
+                   interpret: bool):
     B, H, T, hd = q.shape
     sm_scale = 1.0 / math.sqrt(hd)
-    block_q = min(block_q, T)
-    block_k = min(block_k, T)
+    block_q = min(block_q, _round_up(T, 8))
+    block_k = min(block_k, _round_up(T, 8))
     pad = (-T) % block_q
     if pad:
         zero = jnp.zeros((B, H, pad, hd), q.dtype)
@@ -140,7 +284,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kernel = functools.partial(_flash_kernel, block_q=block_q,
                                block_k=block_k, sm_scale=sm_scale,
                                causal=causal, seq_len=T)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(B * H, Tp // block_q),
         in_specs=[
@@ -148,8 +292,11 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, Tp, hd), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, Tp, hd), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Tp, hd), q.dtype),
+        out_specs=(pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B * H, Tp, hd), q.dtype),
+                   jax.ShapeDtypeStruct((B * H, Tp, 1), jnp.float32)),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(B, H, Tp, hd)[:, :, :T, :]
+    return (out.reshape(B, H, Tp, hd)[:, :, :T, :],
+            lse.reshape(B, H, Tp, 1)[:, :, :T, :])
