@@ -52,15 +52,21 @@ GOAL_DIST_TOLERANCE = 0.05          # block_pushing_multimodal.py:90
 WORKSPACE_CENTER_X = 0.4            # block_pushing_multimodal.py:291
 EFFECTOR_START = jnp.asarray((0.3, -0.4))  # block_pushing_multimodal.py:296
 
-# contact-model constants (calibrated to the Bullet scene's geometry:
-# 5 cm cube blocks, ~2.6 cm diameter cylinder effector)
-BLOCK_HALF = 0.025
-EFFECTOR_RADIUS = 0.013
-BLOCK_BLOCK_RADIUS = 0.032          # disk approximation for block-block
+# contact-model constants, from the vendored reference assets:
+# block.urdf/block2.urdf = 0.04 m cube (mass 0.01, lateral friction 1.0);
+# suction/cylinder_real.urdf = 0.0127 m radius cylinder effector.
+# YAW_GAIN / BLOCK_BLOCK_RADIUS are calibrated against host-MuJoCo golden
+# rollouts of the same scene (scripts/calibrate_block_push.py;
+# tests/golden/block_push_mujoco.npz pins the fidelity level).
+BLOCK_HALF = 0.02
+EFFECTOR_RADIUS = 0.0127
+BLOCK_BLOCK_RADIUS = 0.026          # disk approximation for block-block
 EFFECTOR_SPEED = 1.0                # m/s tracking-speed cap
 CONTROL_DT = 0.1                    # 10 Hz (block_pushing.py:188)
-N_SUBSTEPS = 8
-YAW_GAIN = 8.0                      # lever-arm -> yaw response
+N_SUBSTEPS = 24                     # matches Bullet: 240 Hz / 10 Hz control
+# friction radius of gyration squared for the quasi-static (Mason/Lynch)
+# push model: k^2 = a^2/6 for a uniform square of side a = 2*BLOCK_HALF
+FRICTION_K2 = (2.0 / 3.0) * BLOCK_HALF * BLOCK_HALF
 
 _RESET_CANDIDATES = 64
 
@@ -162,11 +168,23 @@ def _rot(yaw):
     return jnp.asarray([[c, -s], [s, c]])
 
 
-def _push_block(block_pos, block_yaw, point, radius):
-    """Resolve point-vs-oriented-box penetration quasi-statically. On a table
-    the block's motion is friction-dominated, so the block slides along the
-    effector->center line (central push) by the penetration depth, plus a
-    lever-arm yaw response for off-center contacts. Returns (new_pos, new_yaw)."""
+def _push_block(block_pos, block_yaw, point, radius, k2=None):
+    """Quasi-static point-push of an oriented box — Mason/Lynch pushing
+    mechanics. For a friction-dominated block pushed at contact point c
+    (local frame) along the inward normal n, the motion that resolves a
+    penetration `pen` at the contact is, in closed form,
+
+        v     = pen * (k^2 n + (c.n) c) / (k^2 + |c|^2)
+        dyaw  = pen * (c x n)_z        / (k^2 + |c|^2)
+
+    where k^2 is the friction distribution's radius of gyration squared
+    (a^2/6 for a uniform square). Central pushes reduce to pure projection
+    (v = pen*n); off-center pushes split into translation + rotation, so
+    blocks shed sideways around the pusher exactly like the rigid-body
+    golden rollouts (calibrated against host MuJoCo,
+    scripts/calibrate_block_push.py — an earlier ad-hoc lever model
+    under-rotated by >10x). Returns (new_pos, new_yaw)."""
+    k2 = FRICTION_K2 if k2 is None else k2
     R = _rot(block_yaw)
     local = R.T @ (point - block_pos)
     # closest point on the box to the effector center
@@ -176,16 +194,21 @@ def _push_block(block_pos, block_yaw, point, radius):
     inside = dist < 1e-9
     face = jnp.where(local >= 0, BLOCK_HALF - local, -BLOCK_HALF - local)
     pen = jnp.where(inside, radius + jnp.min(jnp.abs(face)), radius - dist)
-    pen = jnp.maximum(pen, 0.0)
-    # central push: block center moves away from the pusher along
-    # (center - contact point) in the world frame
-    to_center = -local
-    push_dir_local = to_center / jnp.maximum(jnp.linalg.norm(to_center), 1e-9)
-    move_local = push_dir_local * pen
-    new_pos = block_pos + R @ move_local
-    # lever arm: tangential offset of the contact point induces yaw
-    lever = jnp.cross(jnp.append(clamped, 0.0), jnp.append(move_local, 0.0))[2]
-    new_yaw = block_yaw + YAW_GAIN * lever
+    # cap the per-substep penetration at the effector's substep advance:
+    # without it, corner contacts where the block ROTATES into the pusher
+    # spike pen and feed back into runaway rotation (the rigid-body golden
+    # rollouts resolve these by slipping around the corner instead)
+    pen = jnp.clip(pen, 0.0, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
+    # inward contact normal; center direction for the degenerate inside case
+    n_out = delta / jnp.maximum(dist, 1e-9)            # surface -> effector
+    to_center = -local / jnp.maximum(jnp.linalg.norm(local), 1e-9)
+    n_in = jnp.where(inside, to_center, -n_out)
+    c = clamped
+    denom = k2 + jnp.sum(c * c)
+    v_local = pen * (k2 * n_in + jnp.dot(c, n_in) * c) / denom
+    dyaw = pen * (c[0] * n_in[1] - c[1] * n_in[0]) / denom
+    new_pos = block_pos + R @ v_local
+    new_yaw = block_yaw + dyaw
     return new_pos, new_yaw
 
 
@@ -198,12 +221,15 @@ def _separate_blocks(pos_a, pos_b):
     return pos_a - n * pen / 2, pos_b + n * pen / 2
 
 
-def block_push_step(state: BlockPushState, action: jnp.ndarray
+def block_push_step(state: BlockPushState, action: jnp.ndarray,
+                    friction_k2: float = None,
                     ) -> Tuple[BlockPushState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One 10 Hz control step. Returns (state, obs16, reward, done).
 
     Steps with done=True hold the state frozen (fixed-length scan semantics);
-    the caller masks metrics with `done`.
+    the caller masks metrics with `done`. `friction_k2` overrides the push
+    model's friction radius-of-gyration (perturbed-physics robustness
+    protocol: larger k2 -> stiffer rotation response).
     """
     # move the effector target by the action, clipped (block_pushing.py:516-534)
     tgt = jnp.clip(state.effector_target + action,
@@ -217,8 +243,10 @@ def block_push_step(state: BlockPushState, action: jnp.ndarray
         step_len = jnp.minimum(d, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
         eff = eff + to_tgt / jnp.maximum(d, 1e-9) * step_len
         # effector pushes each block
-        p0, y0 = _push_block(bpos[0], byaw[0], eff, EFFECTOR_RADIUS)
-        p1, y1 = _push_block(bpos[1], byaw[1], eff, EFFECTOR_RADIUS)
+        p0, y0 = _push_block(bpos[0], byaw[0], eff, EFFECTOR_RADIUS,
+                             friction_k2)
+        p1, y1 = _push_block(bpos[1], byaw[1], eff, EFFECTOR_RADIUS,
+                             friction_k2)
         # block-block separation
         p0, p1 = _separate_blocks(p0, p1)
         return (eff, jnp.stack([p0, p1]), jnp.stack([y0, y1])), None

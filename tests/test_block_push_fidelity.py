@@ -1,0 +1,115 @@
+"""Block-push contact-model fidelity vs MuJoCo golden rollouts.
+
+scripts/calibrate_block_push.py builds the reference scene (0.04 m cube
+blocks, 0.0127 m cylinder effector — straight from the vendored URDFs) in
+host MuJoCo and records golden trajectories/ensemble statistics; these tests
+pin the JAX quasi-static (Mason/Lynch) push model against them.
+
+Individual contact-rich trajectories are chaotic (a perfectly central
+MuJoCo push drifts ~3 cm sideways from numerical symmetry breaking), so the
+binding checks are (a) the early contact phase of a scripted off-center
+push, where the quasi-static model is near-exact, and (b) ensemble
+displacement/rotation statistics staying within calibrated bands.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import beso_tpu.envs.block_push.env as bpe
+
+GOLDEN = Path(__file__).parent / "golden" / "block_push_mujoco.npz"
+
+
+def _run_jax(b0, yaw0, b1, eff0, offsets):
+    state = bpe.BlockPushState(
+        effector=jnp.asarray(eff0), effector_target=jnp.asarray(eff0),
+        block_pos=jnp.asarray([b0, b1]), block_yaw=jnp.asarray([yaw0, 0.0]),
+        target_pos=jnp.asarray([[0.28, 0.2], [0.52, 0.2]]),
+        target_yaw=jnp.asarray([np.pi, np.pi]),
+        in_target=jnp.zeros((2, 2), bool), completed=jnp.zeros((4,), bool),
+        done=jnp.asarray(False), steps=jnp.zeros((), jnp.int32))
+
+    def body(s, a):
+        s, obs, _, _ = bpe.block_push_step(s, a)
+        return s, obs[:5]
+
+    _, traj = jax.lax.scan(body, state, jnp.asarray(offsets, jnp.float32))
+    return np.asarray(traj)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    assert GOLDEN.exists(), \
+        "run scripts/calibrate_block_push.py to generate the golden data"
+    return np.load(GOLDEN)
+
+
+def _scenario(golden, name):
+    meta = golden[f"{name}__meta"]
+    offsets = golden[f"{name}__offsets"]
+    b0, yaw0, b1, eff0 = meta[:2], meta[2], meta[3:5], meta[5:7]
+    return golden[name], (tuple(b0), float(yaw0), tuple(b1), tuple(eff0),
+                          offsets)
+
+
+class TestContactPhase:
+    def test_geometry_matches_urdf(self):
+        """Constants come from the vendored reference assets."""
+        assert bpe.BLOCK_HALF == pytest.approx(0.02)      # block2.urdf 0.04 box
+        assert bpe.EFFECTOR_RADIUS == pytest.approx(0.0127)  # cylinder_real
+        assert bpe.N_SUBSTEPS == 24                        # 240 Hz / 10 Hz
+        # physical friction radius of gyration of a uniform square
+        assert bpe.FRICTION_K2 == pytest.approx((0.04 ** 2) / 6)
+
+    @pytest.mark.parametrize("name", ["central", "offcenter_0.5", "rotated"])
+    def test_early_contact_phase_matches_mujoco(self, golden, name):
+        """During engaged contact (first 2 control steps = 48 substeps) the
+        quasi-static model tracks the rigid-body sim to a few mm / a few
+        degrees — before the chaotic corner-escape phase."""
+        mj, scn = _scenario(golden, name)
+        jx = _run_jax(*scn)
+        i = 2  # first control step with engaged contact (approach is 3 steps)
+        pos_err = np.abs(mj[i, :2] - jx[i, :2]).max()
+        yaw_err = np.abs((mj[i, 2] - jx[i, 2] + np.pi) % (2 * np.pi) - np.pi)
+        assert pos_err < 0.006, f"{name}: {pos_err*1000:.1f} mm at step {i}"
+        assert yaw_err < 0.12, f"{name}: {np.degrees(yaw_err):.1f} deg"
+
+    def test_offcenter_rotation_sign(self, golden):
+        """Off-center pushes must rotate the block in the torque direction
+        during engagement (the pre-calibration model had an identically
+        zero lever term)."""
+        mj, scn = _scenario(golden, "offcenter_0.5")
+        jx = _run_jax(*scn)
+        # contact right of center, pushing north -> CCW (positive) early on
+        assert jx[2, 2] > 0.02
+        assert np.sign(jx[2, 2]) == np.sign(mj[2, 2])
+
+
+class TestEnsembleBands:
+    """Ensemble statistics stay within the calibrated fidelity bands
+    (golden: parallel 26.6 mm, |perp| 25.6 mm, |dyaw| 12.2 deg for 12-step
+    northward pushes; JAX model at physical k2: 43 mm / 32 mm / 36 deg)."""
+
+    def test_ensemble_statistics(self):
+        rng = np.random.default_rng(0)
+        n = 16
+        d_par, d_perp, d_yaw = [], [], []
+        for _ in range(n):
+            yaw = float(rng.uniform(0, np.pi))
+            dx = float(rng.uniform(-0.8, 0.8) * bpe.BLOCK_HALF)
+            offsets = [(0.0, 0.035)] * 12
+            t = _run_jax((0.4, -0.2), yaw, (0.8, 0.6), (0.4 + dx, -0.33),
+                         offsets)
+            d_par.append(t[-1, 1] + 0.2)
+            d_perp.append(abs(t[-1, 0] - 0.4))
+            d_yaw.append(abs((t[-1, 2] - yaw + np.pi) % (2 * np.pi) - np.pi))
+        # bands: mean displacement within 2.5x of the MuJoCo golden stats,
+        # rotation present (not the dead lever) but below runaway
+        assert 0.015 < np.mean(d_par) < 0.07, np.mean(d_par)
+        assert 0.010 < np.mean(d_perp) < 0.065, np.mean(d_perp)
+        assert np.degrees(np.mean(d_yaw)) > 5.0, "rotation response missing"
+        assert np.degrees(np.mean(d_yaw)) < 60.0, "rotation runaway"
