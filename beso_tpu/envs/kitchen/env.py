@@ -174,7 +174,13 @@ _DRIVE_DIRS = _DRIVE_DIRS / np.maximum(
 DEFAULT_KITCHEN_PARAMS = KitchenParams(
     handles=jnp.asarray(_HANDLES),
     drive_dirs=jnp.asarray(_DRIVE_DIRS),
-    drive_gain=jnp.asarray([6.0, 6.0, 6.0, 2.0, 8.0, 5.0, 0.0]),
+    # gains follow the physical articulation law gain ~ 1/handle_radius,
+    # anchored by MuJoCo golden single-element scenes
+    # (scripts/calibrate_kitchen.py): a sliding door tracks the fingertip
+    # 0.99 m/m (so the slide gain is 1.0, measured directly); rotary
+    # elements engage at ~0.85/r rad/m (knob lever r=0.05 -> ~17 measured;
+    # the shipped knob/hinge gains assume larger adept_envs-scale handles).
+    drive_gain=jnp.asarray([6.0, 6.0, 6.0, 1.0, 8.0, 5.0, 0.0]),
     interact_radius=jnp.asarray(0.15),
     grasp_radius=jnp.asarray(0.12),
     release_radius=jnp.asarray(0.25),
