@@ -20,8 +20,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import pytest  # noqa: E402
 
 # Modules dominated by compile-heavy E2E/workspace/training paths. Marked
-# `slow` wholesale so `pytest -m "not slow"` gives a <2 min inner loop while
-# the full suite stays under the 10 min CPU budget (run it before committing).
+# `slow` wholesale so `pytest -m "not slow"` gives a ~3-min inner loop while
+# the full suite stays ~30 min on CPU (run "not slow" before committing; the
+# full suite before shipping).
 SLOW_TEST_MODULES = {
     "test_determinism",
     "test_cached_inference",
@@ -30,7 +31,9 @@ SLOW_TEST_MODULES = {
     "test_fused_train",
     "test_kitchen_oracle",
     "test_models",
+    "test_pallas_ops",
     "test_parallel",
+    "test_parallel_sampling",
     "test_reference_parity",
     "test_rollout",
     "test_studies",
