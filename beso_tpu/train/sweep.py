@@ -93,6 +93,22 @@ def seed_state(ts_stacked: TrainState, i: int) -> TrainState:
     return jax.tree.map(lambda x: x[i], ts_stacked)
 
 
+def shard_sweep_state(ts_stacked: TrainState, mesh, axis: str = "dp"):
+    """Distribute the seed axis over a device mesh: each device (group)
+    trains its seed subset — the multi-chip form of the vmapped sweep.
+    The per-seed programs are independent, so XLA partitions the vmapped
+    train step along the seed axis with zero cross-device traffic. The
+    seed count must be divisible by the mesh axis size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    S = jax.tree.leaves(ts_stacked.params)[0].shape[0]
+    n = mesh.shape[axis]
+    if S % n:
+        raise ValueError(f"{S} seeds not divisible over {n} '{axis}' devices")
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), ts_stacked)
+
+
 def run_sweep(
     denoiser, optimizer, sample_density, scaler, train_sampler,
     test_batch: dict, seeds, *, batch_size: int = 1024,
