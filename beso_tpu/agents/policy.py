@@ -65,6 +65,11 @@ class PolicyConfig:
     # this is the working equivalent)
     n_action_samples: int = 1
     aggregation: str = "single"  # 'single' | 'mean' | 'kde'
+    # sampler_type='picard' runs Picard parallel sampling
+    # (sampling/parallel.py): K sweeps of one [n*B]-batched denoise each
+    # instead of n sequential calls — for long sigma grids
+    picard_update: str = "ddim"          # 'ddim' | 'euler'
+    picard_iterations: Optional[int] = None  # None = n (exact)
 
 
 def scale_goal_for_model(scaler: Scaler, goal: jnp.ndarray) -> jnp.ndarray:
@@ -162,9 +167,22 @@ def policy_predict(
     def dn_xa(actions, sigma):
         return dn(obs_in, actions, goal_in, sigma)
 
-    x0 = sample_loop(cfg.sampler_type, dn_xa, x, sigmas, key,
-                     s_churn=extra_args.get("s_churn", cfg.s_churn),
-                     s_tmin=extra_args.get("s_min", cfg.s_tmin))
+    if cfg.sampler_type == "picard":
+        from beso_tpu.sampling.parallel import sample_picard
+
+        def dn_tiled(actions, sigma):
+            # conditioning tiled over the folded [n_grid * B] batch axis
+            reps = actions.shape[0] // Bn
+            return dn(jnp.tile(obs_in, (reps, 1, 1)), actions,
+                      jnp.tile(goal_in, (reps, 1, 1)), sigma)
+
+        x0 = sample_picard(dn_tiled, x, sigmas, key,
+                           update=cfg.picard_update,
+                           n_iterations=cfg.picard_iterations)
+    else:
+        x0 = sample_loop(cfg.sampler_type, dn_xa, x, sigmas, key,
+                         s_churn=extra_args.get("s_churn", cfg.s_churn),
+                         s_tmin=extra_args.get("s_min", cfg.s_tmin))
 
     # keep only the newest action slot (beso_agent.py:373-374)
     a_scaled = x0[jnp.arange(Bn), newest_in]

@@ -83,3 +83,39 @@ def test_rejects_unknown_update():
     with pytest.raises(ValueError, match="update rule"):
         sample_picard(dn, jnp.zeros((2, 4)), jnp.asarray([1.0, 0.5, 0.0]),
                       update="heun")
+
+
+def test_picard_policy_rollout_matches_ddim():
+    """sampler_type='picard' (exact iterations) reproduces the ddim rollout
+    metrics through the full policy/rollout stack."""
+    from beso_tpu.agents.policy import PolicyConfig
+    from beso_tpu.data import synthetic_kitchen_data
+    from beso_tpu.envs.kitchen.goals import multigoal_kitchen_goals
+    from beso_tpu.models import fit_scaler
+    from beso_tpu.rollout import rollout_kitchen
+
+    model = DiffusionGPT(state_dim=30, action_dim=9, embed_dim=72, n_layers=2,
+                         n_heads=6, goal_seq_len=2, obs_seq_len=4)
+    den = GCDenoiser(model, sigma_data=0.5)
+    params = den.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 30)),
+                      jnp.zeros((2, 4, 9)), jnp.zeros((2, 2, 30)),
+                      jnp.full((2,), 0.5))
+    data = synthetic_kitchen_data(n_traj=4, t_max=30)
+    scaler = fit_scaler(data.all_observations(), data.all_actions())
+    goals, expected = multigoal_kitchen_goals(data, 2, 4, seed=0)
+    goals, expected = jnp.asarray(goals), jnp.asarray(expected)
+
+    def dn(s, a, g, sig):
+        return den.apply(params, s, a, g, sig)
+
+    key = jax.random.PRNGKey(3)
+    base = dict(window_size=4, obs_dim=30, action_dim=9,
+                num_sampling_steps=3, sigma_min=0.005)
+    m_ddim = rollout_kitchen(dn, scaler, PolicyConfig(sampler_type="ddim",
+                                                      **base),
+                             goals, expected, key, n_steps=3)
+    m_pic = rollout_kitchen(dn, scaler, PolicyConfig(sampler_type="picard",
+                                                     **base),
+                            goals, expected, key, n_steps=3)
+    np.testing.assert_allclose(np.asarray(m_pic.rewards),
+                               np.asarray(m_ddim.rewards), atol=1e-4)
