@@ -131,9 +131,17 @@ def main(argv=None):
     parser.add_argument("--out", default=str(
         Path(__file__).resolve().parents[1] / "tests" / "golden" /
         "kitchen_mujoco.npz"))
+    parser.add_argument("--kettle", action="store_true",
+                        help="also run the kettle grasp-and-drag experiment")
     args = parser.parse_args(argv)
 
     results = {}
+    if args.kettle:
+        kt = kettle_drag([0.0, 0.25])
+        results["kettle_drag"] = kt
+        track = kt[-1, 1] / kt[-1, 3] if kt[-1, 3] else 0.0
+        print(f"kettle grasped-drag tracking: {track:.2f} "
+              f"(surrogate kettle_gain: 1.0) traj y: {np.round(kt[:, 1], 3)}")
 
     # hinged door: fingertip hooks BETWEEN the door slab and the handle bar
     # (slab surface y=-0.012, bar surface y=-0.058, finger r=0.02 fits the
@@ -171,6 +179,79 @@ def main(argv=None):
           f"(surrogate slide gain: 2.0)")
     print(f"  knob           : {abs(knob[-1]) / 0.12:.2f} rad/m "
           f"(surrogate knob gain: 6.0)")
+
+
+
+
+# ---------------------------------------------------------------------------
+# kettle grasp-and-drag golden experiment (run with --kettle)
+# ---------------------------------------------------------------------------
+
+_KETTLE_SCENE = """
+<mujoco>
+  <option timestep="{dt}" integrator="implicitfast"/>
+  <worldbody>
+    <geom type="plane" size="2 2 0.1" friction="0.6 0.001 0.0001"/>
+    <body name="kettle" pos="0 0 0.06">
+      <freejoint/>
+      <geom type="cylinder" size="0.08 0.06" mass="0.6"
+            friction="0.6 0.001 0.0001"/>
+      <geom name="khandle" type="capsule" fromto="-0.02 0 0.14 0.02 0 0.14"
+            size="0.012" mass="0.05"/>
+      <geom type="box" pos="0 0 0.125" size="0.004 0.004 0.02" mass="0.01"/>
+    </body>
+    <body name="f1" mocap="true" pos="0 -0.05 0.20">
+      <geom type="box" size="0.008 0.012 0.02" contype="1" conaffinity="1"
+            friction="1.5 0.005 0.0001" mass="0.2"/>
+    </body>
+    <body name="f2" mocap="true" pos="0 0.05 0.20">
+      <geom type="box" size="0.008 0.012 0.02" contype="1" conaffinity="1"
+            friction="1.5 0.005 0.0001" mass="0.2"/>
+    </body>
+  </worldbody>
+</mujoco>
+""".format(dt=1.0 / SUBSTEP_HZ)
+
+
+def kettle_drag(drag_vec, n_ctrl=8):
+    """Two mocap 'fingers' close on the kettle handle, then drag along the
+    squeeze axis (the trailing finger carries the handle through NORMAL
+    contact force; mocap bodies teleport with zero velocity, so tangential
+    friction cannot drag — a measured MuJoCo-mocap artifact). Returns the
+    kettle xy + fingertip path per control step; the tracking ratio
+    calibrates the surrogate's kettle_gain."""
+    import mujoco
+
+    model = mujoco.MjModel.from_xml_string(_KETTLE_SCENE)
+    data = mujoco.MjData(model)
+    mujoco.mj_forward(model, data)
+    sub = int(SUBSTEP_HZ * CONTROL_DT)
+
+    # phase 1: close the fingers on the handle (y: -0.05/0.05 -> -0.017/0.017)
+    for i in range(sub):
+        frac = min(1.0, i / (sub * 0.6))
+        gap = 0.05 - frac * 0.027
+        data.mocap_pos[0] = [0, -gap, 0.20]
+        data.mocap_pos[1] = [0, gap, 0.20]
+        mujoco.mj_step(model, data)
+
+    # phase 2: drag
+    per = np.asarray(drag_vec) / n_ctrl
+    hand = np.zeros(2)
+    traj = []
+    for _ in range(n_ctrl):
+        tgt = hand + per
+        for _ in range(sub):
+            d = tgt - hand
+            dist = np.linalg.norm(d)
+            step = min(dist, 1.0 / SUBSTEP_HZ)
+            if dist > 1e-9:
+                hand = hand + d / dist * step
+            data.mocap_pos[0] = [hand[0], -0.023 + hand[1], 0.20]
+            data.mocap_pos[1] = [hand[0], 0.023 + hand[1], 0.20]
+            mujoco.mj_step(model, data)
+        traj.append([data.qpos[0], data.qpos[1], hand[0], hand[1]])
+    return np.asarray(traj)
 
 
 if __name__ == "__main__":
