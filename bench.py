@@ -6,17 +6,16 @@ kitchen-sized DiffusionGPT (6L x 360D, ~9.5M params) fused with the batched
 JAX kitchen physics step — across thousands of parallel goal-conditioned
 environments, as ONE jit'd lax.scan.
 
-Also reported (VERDICT round-1 item 4):
-* `mfu` — model-FLOPs utilization: XLA's cost analysis of the FULL denoiser
-  forward (the deliberate FLOPs) x NFE x measured env-steps/s, divided by
-  the chip's peak bf16 throughput. Physics/bookkeeping FLOPs are excluded.
-  NOTE: the rollout runs the prefix-KV cached engine, which executes ~27%
-  fewer FLOPs than the full forward — mfu is therefore an *effective*
-  utilization (throughput normalized to the uncached FLOP count), the
-  apples-to-apples speed measure across engine changes.
+Also reported (VERDICT round-1 item 4; honesty split per round-2 ADVICE):
+* `mfu` — TRUE model-FLOPs utilization: XLA cost analysis of the cached
+  suffix forward (the FLOPs the serving engine actually executes) x NFE x
+  measured env-steps/s over chip peak bf16. Physics/bookkeeping excluded.
+* `mfu_effective` — the same throughput normalized to the FULL-forward FLOP
+  count (which the cached engine partially skips): the apples-to-apples
+  speed measure across engine changes; can exceed `mfu`.
 * `dp_efficiency` — when >1 device is visible, the dp-sharded rollout's
-  per-device throughput relative to the single-device run (1.0 when only
-  one chip is attached, as in the driver's bench environment).
+  per-device throughput relative to the single-device run; `null` on
+  single-chip runs (no measurement exists there).
 
 Dtype policy: the bench runs the INFERENCE path in bfloat16 (the deployment
 configuration for TPU serving); the shipped training configs default to
@@ -130,22 +129,45 @@ def main():
     env_steps_per_sec = n_envs * n_steps / best
 
     # ---- MFU: deliberate model FLOPs / chip peak -------------------------
-    mfu = None
+    # mfu_effective: FULL-forward FLOP count x NFE x env-steps/s (the
+    # apples-to-apples speed measure across engine changes — the cached
+    # engine SKIPS ~27% of these FLOPs, so this can exceed true utilization).
+    # mfu_executed: FLOPs the cached suffix forward actually runs — the
+    # honest hardware utilization (VERDICT r2 weak #4 / ADVICE r2).
+    mfu_effective = None
+    mfu_executed = None
     try:
         B = 256
+
+        def _flops_per_env(fn, *args):
+            ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            return float(ca["flops"]) / B
+
         fwd_args = (jnp.zeros((B, 4, 30)), jnp.zeros((B, 4, 9)),
                     jnp.zeros((B, 2, 30)), jnp.full((B,), 0.5))
-        ca = jax.jit(lambda p, *a: den.apply(p, *a)).lower(
-            params, *fwd_args).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops_per_env_fwd = float(ca["flops"]) / B
-        model_flops_per_sec = flops_per_env_fwd * NFE * env_steps_per_sec
-        mfu = model_flops_per_sec / (_peak_tflops(dev) * 1e12)
+        full_flops = _flops_per_env(
+            lambda p, *a: den.apply(p, *a), params, *fwd_args)
+        peak = _peak_tflops(dev) * 1e12
+        mfu_effective = full_flops * NFE * env_steps_per_sec / peak
+
+        from beso_tpu.core.schedules import get_noise_schedule
+        from beso_tpu.models.cached import make_cached_denoise_fn
+
+        sig_grid = get_noise_schedule(NFE, cfg.sigma_min, cfg.sigma_max,
+                                      cfg.rho, cfg.noise_scheduler)[:-1]
+        dn = make_cached_denoise_fn(den, params, jnp.zeros((B, 2, 30)),
+                                    sig_grid)
+        exec_flops = _flops_per_env(
+            lambda s, a, sg: dn(s, a, None, sg),
+            jnp.zeros((B, 4, 30)), jnp.zeros((B, 4, 9)), jnp.full((B,), 0.5))
+        mfu_executed = exec_flops * NFE * env_steps_per_sec / peak
     except Exception:
         pass
 
-    # ---- dp scaling efficiency ------------------------------------------
-    dp_efficiency = 1.0
+    # ---- dp scaling efficiency (null on single-chip runs: a measured
+    # number only exists when >1 device is visible — ADVICE/VERDICT r2) ----
+    dp_efficiency = None
     if n_devices > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -171,8 +193,11 @@ def main():
         "unit": f"env-steps/s ({n_envs} envs x {n_steps} steps x {NFE} NFE "
                 f"ddim, {n_devices}x {platform})",
         "vs_baseline": round(env_steps_per_sec / REFERENCE_ENV_STEPS_PER_SEC, 2),
-        "mfu": round(mfu, 4) if mfu is not None else None,
-        "dp_efficiency": round(dp_efficiency, 4),
+        "mfu": round(mfu_executed, 4) if mfu_executed is not None else None,
+        "mfu_effective": (round(mfu_effective, 4)
+                          if mfu_effective is not None else None),
+        "dp_efficiency": (round(dp_efficiency, 4)
+                          if dp_efficiency is not None else None),
     }
     print(json.dumps(out))
 

@@ -33,12 +33,17 @@ def _build_lib() -> Path:
     tag = hashlib.sha256(src).hexdigest()[:16]
     out = _SRC.with_name(f"_libslicer_{tag}.so")
     if not out.exists():
+        # compile to a unique temp file and os.rename (atomic on the same
+        # filesystem) so concurrent builders (parallel pytest workers) never
+        # dlopen a partially written library (ADVICE r2)
+        tmp = _SRC.with_name(f"_libslicer_{tag}.{os.getpid()}.tmp.so")
         cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(_SRC),
-               "-o", str(out), "-lpthread"]
+               "-o", str(tmp), "-lpthread"]
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:
             raise RuntimeError(
                 f"native loader build failed:\n{proc.stderr[-2000:]}")
+        os.rename(tmp, out)
         # drop stale builds
         for old in _SRC.parent.glob("_libslicer_*.so"):
             if old != out:
@@ -103,6 +108,13 @@ class NativeSlicedLoader:
         self.obs = _as_c_f32(observations)
         self.act = _as_c_f32(actions)
         self.lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+        if not np.any(self.lengths >= window):
+            # the C++ slice table would be empty and fill_item's modulo a
+            # divide-by-zero (SIGFPE) — fail at the Python level (ADVICE r2)
+            raise ValueError(
+                f"no trajectory is at least window={window} steps long "
+                f"(max length {int(self.lengths.max(initial=0))}); "
+                "no slices can be formed")
         n_traj, t_max, obs_dim = self.obs.shape
         act_dim = self.act.shape[-1]
         self.window = window

@@ -270,7 +270,10 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     sm_scale = 1.0 / math.sqrt(hd)
     block_q = min(block_q, _round_up(T, 8))
     block_k = min(block_k, _round_up(T, 8))
-    pad = (-T) % block_q
+    # pad to a multiple of BOTH block sizes: with block_k > block_q the
+    # causal k-loop's last pl.ds read rounds (qi+1)*block_q up to block_k
+    # and must stay inside the padded K/V refs (ADVICE r2)
+    pad = (-T) % (block_q * block_k // math.gcd(block_q, block_k))
     if pad:
         zero = jnp.zeros((B, H, pad, hd), q.dtype)
         q = jnp.concatenate([q, zero], axis=2)

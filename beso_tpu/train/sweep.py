@@ -134,11 +134,18 @@ def run_sweep(
 
     history = []
     step = 0
+    # per-call cache of fused multi-step programs keyed on the only traced
+    # shape parameters; scoped here (not module-global) so a finished sweep
+    # cell's closures/executables can be garbage-collected (ADVICE r2)
+    fused_cache: dict = {}
     while step < max_train_steps:
         to_eval = eval_every_n_steps - (step % eval_every_n_steps)
         n = min(fused_steps, to_eval, max_train_steps - step)
-        fused = _get_fused(denoiser, optimizer, sample_density, scaler,
-                           train_sampler, batch_size, n, train_kwargs)
+        if (batch_size, n) not in fused_cache:
+            fused_cache[(batch_size, n)] = make_sweep_train_steps(
+                denoiser, optimizer, sample_density, scaler, train_sampler,
+                batch_size, n, **train_kwargs)
+        fused = fused_cache[(batch_size, n)]
         key, k_run = jax.random.split(key)
         ts, losses = fused(ts, jax.random.split(k_run, len(seeds)))
         step += n
@@ -157,16 +164,3 @@ def run_sweep(
             if metrics_cb is not None:
                 metrics_cb(step, entry)
     return ts, history
-
-
-_FUSED_CACHE: dict = {}
-
-
-def _get_fused(denoiser, optimizer, sample_density, scaler, train_sampler,
-               batch_size, n_steps, train_kwargs):
-    k = (id(denoiser), id(optimizer), id(train_sampler), batch_size, n_steps)
-    if k not in _FUSED_CACHE:
-        _FUSED_CACHE[k] = make_sweep_train_steps(
-            denoiser, optimizer, sample_density, scaler, train_sampler,
-            batch_size, n_steps, **train_kwargs)
-    return _FUSED_CACHE[k]

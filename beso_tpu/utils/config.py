@@ -43,6 +43,17 @@ class Config(dict):
 
     def set_path(self, path: str, value):
         parts = path.split(".")
+        if parts[0] not in self:
+            # hydra errors on unknown override keys; a mistyped key here
+            # would otherwise be silently accepted and ignored (e.g.
+            # `train.max_train_steps=50` against a flat config)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "override %r creates a NEW config key %r — the existing "
+                "config has no such key; check for a typo (known top-level "
+                "keys: %s)", path, parts[0],
+                ", ".join(sorted(self.keys())[:40]))
         node = self
         for part in parts[:-1]:
             node = node.setdefault(part, {})
