@@ -25,13 +25,14 @@ from beso_tpu.envs.kitchen.env import (ACT_AMP, CONTROL_DT,
                                        DEFAULT_KITCHEN_PARAMS, GOAL_VEC,
                                        KITCHEN_BASE_POS, PRIMARY,
                                        KitchenParams, KitchenState,
-                                       kitchen_handles, kitchen_obs,
-                                       kitchen_reset, kitchen_step)
+                                       handle_tangents, kitchen_handles,
+                                       kitchen_obs, kitchen_reset,
+                                       kitchen_step)
 from beso_tpu.envs.kitchen.fk import panda_fk
 
 REACH_SPEED = 0.08      # m per control step while approaching
 MANIP_SPEED = 0.05      # m per control step while manipulating
-CORR_BLEND = 0.8        # handle re-centering strength during manipulation
+CORR_BLEND = 1.0        # fraction of off-arc error corrected per step
 
 TASK_BUDGET = 70  # steps before the oracle gives up on a stuck task
 
@@ -67,8 +68,12 @@ def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
     handles = kitchen_handles(state.qpos, params)  # handles ride their doors
     handle = handles[task]
     dist = jnp.linalg.norm(ee - handle)
+    # manipulate as soon as the fingertip is hooked (inside the engagement
+    # radius) — a tighter switch threshold would flip back to 'reach' when
+    # the handle trails by the contact lag, and a hooked fingertip moving
+    # BACK toward the handle drags the door shut (angular-advance law)
     near = dist < jnp.where(is_kettle, params.grasp_radius * 0.7,
-                            params.interact_radius * 0.7)
+                            params.interact_radius)
 
     # desired fingertip displacement while approaching
     reach_vec = handle - ee
@@ -76,14 +81,30 @@ def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
     reach_dx = reach_vec / jnp.maximum(reach_d, 1e-9) * jnp.minimum(
         reach_d, REACH_SPEED)
 
-    # manipulation: push along +-drive_dir so the primary joint moves TOWARD
-    # its goal, BLENDED with a re-centering pull to the handle so the
-    # fingertip orbits inside the contact radius instead of drifting out
+    # manipulation (v2 arc law): advance along the handle's CURRENT arc
+    # tangent toward the goal joint value, fully correcting any off-arc
+    # error each step so the fingertip stays hooked inside the tight
+    # measured interact_radius. Speed tapers with the remaining joint
+    # distance (drive = eff x angular advance, so the arc step that lands
+    # exactly on the goal is |goal-q|/eff x r) and is capped at a fraction
+    # of the handle radius so small knobs are swept in a few engaged steps
+    # instead of one disengaging flick.
     q_primary = state.qpos[PRIMARY[task]]
     goal_primary = GOAL_VEC[PRIMARY[task]]
     sign = jnp.sign(goal_primary - q_primary)
-    raw = params.drive_dirs[task] * sign + CORR_BLEND * reach_vec
-    manip_dx = raw / jnp.maximum(jnp.linalg.norm(raw), 1e-9) * MANIP_SPEED
+    tangent = handle_tangents(state.qpos, params)[task]
+    rad_vec = handle - params.pivots[task]
+    ax = params.axes[task]
+    r_arc = jnp.linalg.norm(rad_vec - ax * jnp.sum(rad_vec * ax))
+    is_rotary = params.rotary[task] > 0.5
+    eff = jnp.maximum(params.drive_eff[task], 1e-3)
+    need = jnp.abs(goal_primary - q_primary) / eff
+    need_lin = jnp.where(is_rotary, need * r_arc, need)
+    speed = jnp.minimum(MANIP_SPEED,
+                        jnp.where(is_rotary, 0.6 * r_arc, MANIP_SPEED))
+    step_len = jnp.minimum(speed, need_lin)
+    perp_err = reach_vec - tangent * jnp.sum(tangent * reach_vec)
+    manip_dx = tangent * sign * step_len + CORR_BLEND * perp_err
 
     # kettle: once grasped, carry it straight to its goal position
     kettle_vec = GOAL_VEC[23:26] - state.qpos[23:26]

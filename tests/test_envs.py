@@ -295,9 +295,10 @@ class TestKitchenPhysicsV1:
             max_y = max(max_y, float(env.ee_pos[1]))
         assert max_y <= wall_y + 1e-5, f"fingertip penetrated wall: y={max_y}"
 
-    def test_handles_track_doors(self):
-        """A handle must ride its door: q_primary/gain along the drive dir
-        (sustained-contact contract of the v1 surrogate)."""
+    def test_handles_ride_true_arcs(self):
+        """v2 arc kinematics: a rotary handle at joint value q sits at the
+        Rodrigues rotation of its rest offset about the pivot axis — at
+        constant radius, NOT on a line (the round-2 linearization)."""
         from beso_tpu.envs.kitchen.env import (DEFAULT_KITCHEN_PARAMS,
                                                kitchen_handles)
 
@@ -305,20 +306,39 @@ class TestKitchenPhysicsV1:
         base = kitchen_handles(INIT_QPOS, P)
         q = INIT_QPOS.at[21].set(1.0)  # hinge cabinet primary joint
         moved = kitchen_handles(q, P)
-        dq = 1.0 - float(INIT_QPOS[21])
-        want = np.asarray(base[4]) + np.asarray(P.drive_dirs[4]) * (
-            dq / float(P.drive_gain[4]))
-        np.testing.assert_allclose(np.asarray(moved[4]), want, atol=1e-5)
-        # other handles unaffected
+
+        def in_plane_radius(h):
+            r = np.asarray(h - P.pivots[4])
+            ax = np.asarray(P.axes[4])
+            return np.linalg.norm(r - ax * np.dot(r, ax))
+
+        # constant radius about the hinge
+        assert in_plane_radius(moved[4]) == pytest.approx(
+            in_plane_radius(base[4]), abs=1e-5)
+        # swept angle equals the joint angle
+        r0 = np.asarray(base[4] - P.pivots[4])
+        r1 = np.asarray(moved[4] - P.pivots[4])
+        ax = np.asarray(P.axes[4])
+        p0 = r0 - ax * np.dot(r0, ax)
+        p1 = r1 - ax * np.dot(r1, ax)
+        ang = np.arctan2(np.dot(ax, np.cross(p0, p1)), np.dot(p0, p1))
+        assert ang == pytest.approx(1.0 - float(INIT_QPOS[21]), abs=1e-5)
+        # other handles unaffected; slide handle translates along its axis
         np.testing.assert_allclose(np.asarray(moved[3]), np.asarray(base[3]),
                                    atol=1e-5)
+        q2 = INIT_QPOS.at[19].set(0.3)
+        slid = kitchen_handles(q2, P)
+        want = np.asarray(base[3]) + np.asarray(P.axes[3]) * (
+            0.3 - float(INIT_QPOS[19]))
+        np.testing.assert_allclose(np.asarray(slid[3]), want, atol=1e-5)
 
     def test_perturb_params(self):
         from beso_tpu.envs.kitchen.env import (DEFAULT_KITCHEN_PARAMS,
                                                perturb_kitchen_params)
 
         P = perturb_kitchen_params(gain_scale=1.2, radius_scale=0.8)
-        np.testing.assert_allclose(np.asarray(P.drive_gain),
-                                   np.asarray(DEFAULT_KITCHEN_PARAMS.drive_gain) * 1.2)
+        np.testing.assert_allclose(
+            np.asarray(P.drive_eff),
+            np.asarray(DEFAULT_KITCHEN_PARAMS.drive_eff) * 1.2)
         assert float(P.interact_radius) == pytest.approx(
             float(DEFAULT_KITCHEN_PARAMS.interact_radius) * 0.8)

@@ -1,20 +1,13 @@
-"""Kitchen articulation-law fidelity vs MuJoCo golden single-element scenes.
+"""Kitchen v2 fidelity: SHIPPED constants pinned to MuJoCo golden scenes.
 
-scripts/calibrate_kitchen.py drags a mocap fingertip through the handles of
-MuJoCo hinged-door / sliding-door / knob scenes and records the joint
-response (tests/golden/kitchen_mujoco.npz). The adept_envs XML is not
-vendored, so this anchors the surrogate's articulation LAW, not exact
-geometry:
-
-* a sliding door tracks the fingertip ~1:1 (measured 0.99 m/m) — the
-  surrogate's slide drive_gain is set to 1.0 from this measurement;
-* rotary elements respond at ~1/handle_radius rad per meter of tangential
-  fingertip stroke during engagement (knob lever r=0.05 -> ~17 rad/m
-  measured vs the 20 ideal), i.e. gain*r = O(1);
-* straight-line pulls on a hinged door SLIP after ~0.1 rad (the handle
-  moves on an arc) — the surrogate's handle-tracking linearization is a
-  deliberate simplification that keeps straight strokes engaged; this test
-  records that known deviation.
+scripts/calibrate_kitchen.py builds one MuJoCo scene per articulated
+element from the SAME geometry table the surrogate simulates
+(beso_tpu/envs/kitchen/geometry.py) plus a torque-actuated two-finger
+gripper scene for the kettle, and records tests/golden/kitchen_mujoco_v2.npz.
+These tests pin every measured `DEFAULT_KITCHEN_PARAMS` constant to the
+golden data — not just the articulation law (the round-2 state VERDICT r2
+called out) — and check the surrogate REPRODUCES the measured slip
+behavior of straight pulls on arc handles.
 """
 
 from pathlib import Path
@@ -22,7 +15,11 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-GOLDEN = Path(__file__).parent / "golden" / "kitchen_mujoco.npz"
+GOLDEN = Path(__file__).parent / "golden" / "kitchen_mujoco_v2.npz"
+
+GOALS = {"bottom_burner": -0.88, "top_burner": -0.92, "light_switch": -0.69,
+         "slide_cabinet": 0.37, "hinge_cabinet": 1.45, "microwave": -0.75}
+NAMES = list(GOALS)
 
 
 @pytest.fixture(scope="module")
@@ -32,50 +29,157 @@ def golden():
     return np.load(GOLDEN)
 
 
-class TestArticulationLaw:
-    def test_slide_tracks_fingertip(self, golden):
-        """MuJoCo: prismatic door moves ~1:1 with the pushing fingertip."""
-        slide = golden["slide"]
-        eff = abs(slide[-1]) / 0.40
-        assert 0.85 < eff < 1.05, f"slide tracking {eff:.2f} m/m"
-        # response is steady (linear), not impulsive
-        steps = np.diff(slide)
-        assert steps.min() > 0.02 and steps.max() < 0.06
+@pytest.fixture(scope="module")
+def params():
+    from beso_tpu.envs.kitchen.env import DEFAULT_KITCHEN_PARAMS
 
-    def test_surrogate_slide_gain_matches_measurement(self, golden):
-        from beso_tpu.envs.kitchen.env import DEFAULT_KITCHEN_PARAMS
+    return DEFAULT_KITCHEN_PARAMS
 
-        slide_gain = float(DEFAULT_KITCHEN_PARAMS.drive_gain[3])
-        measured = abs(golden["slide"][-1]) / 0.40
-        assert abs(slide_gain - measured) < 0.15, \
-            f"surrogate slide gain {slide_gain} vs measured {measured:.2f}"
 
-    def test_knob_engaged_slope_is_inverse_radius(self, golden):
-        """During engagement the knob turns at ~1/r rad/m (lever r=0.05)."""
-        knob = golden["knob"]
-        peak = np.abs(knob).max()
-        assert peak > 0.8, f"knob barely turned: peak {peak:.2f} rad"
-        # stroke to peak ~ 0.06 m -> slope within [10, 25] rad/m vs ideal 20
-        i_peak = int(np.abs(knob).argmax())
-        stroke = 0.12 * (i_peak + 1) / len(knob)
-        slope = peak / stroke
-        assert 10.0 < slope < 25.0, f"knob slope {slope:.1f} rad/m"
+def _steady_slope(q, swept):
+    per = swept / len(q)
+    return np.abs(np.diff(q))[2:].mean() / per
 
-    def test_hinged_straight_pull_slips(self, golden):
-        """A straight pull on an arc-mounted handle loses contact after a
-        small angle in the rigid-body sim — the documented deviation the
-        surrogate's handle-tracking linearization smooths over."""
-        hs = golden["hinge_straight"]
-        assert np.abs(hs).max() > 0.05      # it does engage...
-        assert np.abs(hs[-1]) < 0.2         # ...but slips before opening far
 
-    def test_surrogate_rotary_gains_are_order_inverse_radius(self):
-        """gain * handle_radius = O(1) for the surrogate's hinged elements
-        (microwave handle ~0.3 m from hinge at gain 5 -> 1.5; hinge cabinet
-        ~0.125 m at gain 8 -> 1.0); the golden knob measurement gives
-        engagement efficiency ~0.85 of the ideal 1/r."""
-        from beso_tpu.envs.kitchen.env import DEFAULT_KITCHEN_PARAMS
+class TestShippedConstants:
+    """Every measured constant in DEFAULT_KITCHEN_PARAMS matches the golden
+    measurement it cites."""
 
-        g = np.asarray(DEFAULT_KITCHEN_PARAMS.drive_gain)
-        assert 0.5 < g[5] * 0.30 < 2.5      # microwave
-        assert 0.5 < g[4] * 0.125 < 2.5     # hinge cabinet
+    def test_drive_eff_matches_steady_slopes(self, golden, params):
+        eff = np.asarray(params.drive_eff)
+        for e, name in enumerate(NAMES):
+            q = golden[f"arc_{name}"]
+            swept = abs(GOALS[name])
+            measured = _steady_slope(q, swept)
+            assert abs(eff[e] - measured) < 0.02, \
+                f"{name}: shipped {eff[e]:.3f} vs measured {measured:.3f}"
+        assert float(eff[6]) == 0.0  # kettle is grasp-tracked, not driven
+
+    def test_full_stroke_efficiency_band(self, golden):
+        """Arc-following drags complete 85-100% of the goal stroke in the
+        rigid-body sim — the one-time contact-gap take-up explains the
+        rest (modeled by the surrogate's engagement radius)."""
+        for name in NAMES:
+            q = golden[f"arc_{name}"]
+            frac = abs(q[-1]) / abs(GOALS[name])
+            assert 0.85 < frac <= 1.05, f"{name}: {frac:.3f}"
+
+    def test_interact_radius_from_probe(self, golden, params):
+        """Engagement ball = tangential contact gap (finger_r + bar_r +
+        0.002 = 0.034) + measured radial onset from the offset probe."""
+        from beso_tpu.envs.kitchen import geometry as G
+
+        offsets = golden["probe_offsets"]
+        onset = 0.0
+        for key in ("probe_bottom_burner", "probe_hinge_cabinet",
+                    "probe_slide_cabinet"):
+            resp = golden[key]
+            engaged = offsets[resp > 0.25]
+            onset = max(onset, float(engaged.max()) if engaged.size else 0.0)
+        gap = G.FINGER_RADIUS + G.BAR_RADIUS + 0.002
+        measured = gap + onset
+        assert abs(float(params.interact_radius) - measured) < 0.01, \
+            f"shipped {float(params.interact_radius)} vs measured {measured}"
+
+    def test_grasp_radius_from_gripper_scene(self, golden, params):
+        offs = golden["kettle_grasp_offsets"]
+        ok = golden["kettle_grasp_ok"]
+        largest_ok = offs[ok].max()
+        smallest_fail = offs[~ok].min()
+        g = float(params.grasp_radius)
+        assert largest_ok <= g <= smallest_fail, \
+            f"grasp_radius {g} outside measured band " \
+            f"[{largest_ok}, {smallest_fail}]"
+
+    def test_kettle_gain_and_speed(self, golden, params):
+        """Grasped transport tracks the hand ~1:1 at every tested speed up
+        to the shipped kettle_max_speed."""
+        speeds = golden["kettle_speeds"]
+        tracks = golden["kettle_tracks"]
+        assert float(params.kettle_gain) == pytest.approx(1.0)
+        ms = float(params.kettle_max_speed)
+        held = speeds[tracks > 0.9]
+        assert held.size and ms <= held.max() + 1e-6, \
+            f"kettle_max_speed {ms} beyond measured {held.max()}"
+        # at the oracle drag speed tracking is ~1
+        assert 0.9 < tracks[0] < 1.2
+
+    def test_release_radius_covers_max_held_gap(self, golden, params):
+        """The hardest yank never opened more than `kettle_yank_gap` of
+        hand-kettle separation while the grasp held; the shipped breakaway
+        distance sits just above it."""
+        gap = float(golden["kettle_yank_gap"])
+        rr = float(params.release_radius)
+        assert bool(golden["kettle_yank_held"])
+        assert gap < rr <= gap + 0.02, \
+            f"release_radius {rr} vs max held gap {gap}"
+
+
+class TestSlipBehavior:
+    """Straight pulls on arc handles slip in MuJoCo — and now in the
+    surrogate too (the round-2 linearization never slipped)."""
+
+    def test_mujoco_straight_pull_slips(self, golden):
+        for name in ("hinge_cabinet", "microwave"):
+            qs = golden[f"straight_{name}"]
+            qa = golden[f"arc_{name}"]
+            assert abs(qs[-1]) < 0.15 * abs(qa[-1]), \
+                f"{name}: straight pull reached {qs[-1]:+.3f}"
+
+    def test_surrogate_straight_pull_disengages(self, params):
+        """Drag the surrogate's hooked-contact law (the exact functions
+        kitchen_step composes: kitchen_handles / _segment_dist /
+        _angular_advance) with a fingertip moving in a STRAIGHT line along
+        the microwave handle's initial tangent: the handle swings off the
+        line and the door stops well short of the goal (radial disengage),
+        while an arc-following drag opens it fully."""
+        import jax.numpy as jnp
+
+        from beso_tpu.envs.kitchen.env import (
+            INIT_QPOS, PRIMARY, _angular_advance, _segment_dist,
+            handle_tangents, kitchen_handles)
+
+        e = 5  # microwave, goal -0.75
+        pivot = params.pivots[e]
+        axis = params.axes[e]
+        jidx = int(PRIMARY[e])
+
+        def drag_law_step(qpos, ee_old, ee_new):
+            """One application of kitchen_step's object contact law."""
+            handles = kitchen_handles(qpos, params)
+            d_old = _segment_dist(ee_old, handles, params.bar_dirs,
+                                  params.bar_halflen)
+            hooked = d_old[e] < params.interact_radius
+            dphi = _angular_advance(ee_old, ee_new, params)[e]
+            drive = jnp.where(hooked, dphi * params.drive_eff[e], 0.0)
+            q_try = qpos.at[jidx].add(drive)
+            d_end = _segment_dist(ee_new, kitchen_handles(q_try, params),
+                                  params.bar_dirs, params.bar_halflen)
+            keep = d_end[e] < params.interact_radius
+            return jnp.where(keep, q_try, qpos)
+
+        def run(arc_follow: bool, n=16, step_len=0.03):
+            qpos = INIT_QPOS
+            ee = kitchen_handles(qpos, params)[e]
+            r_vec0 = ee - pivot
+            r0 = jnp.linalg.norm(r_vec0 - axis * jnp.dot(r_vec0, axis))
+            tan0 = handle_tangents(qpos, params)[e]
+            for _ in range(n):
+                if arc_follow:
+                    tan = handle_tangents(qpos, params)[e]
+                    raw = ee - tan * step_len          # goal is negative
+                    rad = raw - pivot
+                    rad_p = rad - axis * jnp.dot(rad, axis)
+                    tgt = (pivot + axis * jnp.dot(rad, axis)
+                           + rad_p / jnp.linalg.norm(rad_p) * r0)
+                else:
+                    tgt = ee - tan0 * step_len
+                qpos = drag_law_step(qpos, ee, tgt)
+                ee = tgt
+            return float(qpos[jidx])
+
+        q_straight = run(False)
+        q_arc = run(True)
+        assert q_arc < -0.6, f"arc-following drag failed to open: {q_arc}"
+        assert abs(q_straight) < 0.5 * abs(q_arc), \
+            f"straight pull did not slip: {q_straight} vs arc {q_arc}"
