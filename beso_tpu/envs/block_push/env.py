@@ -67,6 +67,23 @@ N_SUBSTEPS = 24                     # matches Bullet: 240 Hz / 10 Hz control
 # friction radius of gyration squared for the quasi-static (Mason/Lynch)
 # push model: k^2 = a^2/6 for a uniform square of side a = 2*BLOCK_HALF
 FRICTION_K2 = (2.0 / 3.0) * BLOCK_HALF * BLOCK_HALF
+# pusher-block friction coefficient for the sticking/slipping motion cone
+# (both URDFs specify lateral friction 1.0; the calibration sweep against
+# the MuJoCo ensemble selects the shipped value — calibrate_block_push.py)
+PUSHER_MU = 0.5
+# ground Coulomb deceleration mu*g for the post-contact coast: the 10-gram
+# block is KNOCKED AWAY by the 1 m/s pusher and coasts v^2/(2*mu*g) before
+# stopping — the escape dynamics that bound how long a push can torque the
+# block (the pure quasi-static model kept blocks glued to the pusher for
+# the whole stroke, integrating ~3x MuJoCo's ensemble rotation)
+GROUND_DECEL = 9.81            # m/s^2 (URDF lateral friction 1.0)
+# rotational Coulomb decel ~ mu*g*r_mean/k^2 (r_mean ~ half width)
+YAW_DECEL = GROUND_DECEL * BLOCK_HALF / FRICTION_K2   # rad/s^2
+SUB_DT = CONTROL_DT / N_SUBSTEPS
+# per-substep low-pass factor for the contact-implied coast velocity
+# (chattering-contact duty cycle; calibrated vs the MuJoCo golden
+# step-level and ensemble statistics)
+KICK_ALPHA = 0.15
 
 _RESET_CANDIDATES = 64
 
@@ -84,6 +101,10 @@ class BlockPushState(NamedTuple):
     completed: jnp.ndarray         # [..., 4] bool, task ids 2*b + t
     done: jnp.ndarray              # [...] bool
     steps: jnp.ndarray             # [...] int32
+    # knock-away coast state (round 3; zero-filled defaults keep older
+    # single-env construction sites source-compatible)
+    block_vel: jnp.ndarray = jnp.zeros((2, 2))      # [..., 2, 2] m/s
+    block_yawrate: jnp.ndarray = jnp.zeros((2,))    # [..., 2] rad/s
 
 
 def _sample_block_positions(key) -> jnp.ndarray:
@@ -143,6 +164,8 @@ def block_push_reset(key, horizontal: bool = False) -> BlockPushState:
         completed=jnp.zeros((4,), bool),
         done=jnp.asarray(False),
         steps=jnp.zeros((), jnp.int32),
+        block_vel=jnp.zeros((2, 2)),
+        block_yawrate=jnp.zeros((2,)),
     )
 
 
@@ -168,23 +191,40 @@ def _rot(yaw):
     return jnp.asarray([[c, -s], [s, c]])
 
 
-def _push_block(block_pos, block_yaw, point, radius, k2=None):
+def _push_block(block_pos, block_yaw, point, radius, k2=None, de=None,
+                mu=None):
     """Quasi-static point-push of an oriented box — Mason/Lynch pushing
-    mechanics. For a friction-dominated block pushed at contact point c
-    (local frame) along the inward normal n, the motion that resolves a
-    penetration `pen` at the contact is, in closed form,
+    mechanics WITH the sticking/slipping motion cone (round 3: the
+    contact-migration refinement VERDICT r2 #3 asked for).
 
-        v     = pen * (k^2 n + (c.n) c) / (k^2 + |c|^2)
-        dyaw  = pen * (c x n)_z        / (k^2 + |c|^2)
+    Limit-surface mobility at contact point c (local frame): an applied
+    contact impulse f moves the contact point by
+
+        v_c = A f,   A = (k^2 I + p p^T) / (k^2 + |c|^2),  p = perp(c)
 
     where k^2 is the friction distribution's radius of gyration squared
-    (a^2/6 for a uniform square). Central pushes reduce to pure projection
-    (v = pen*n); off-center pushes split into translation + rotation, so
-    blocks shed sideways around the pusher exactly like the rigid-body
-    golden rollouts (calibrated against host MuJoCo,
-    scripts/calibrate_block_push.py — an earlier ad-hoc lever model
-    under-rotated by >10x). Returns (new_pos, new_yaw)."""
+    (a^2/6 for a uniform square). The imposed contact displacement is the
+    penetration resolution `pen` along the inward normal n PLUS the
+    pusher's own tangential substep motion u_t (contact migration drive):
+
+    * STICK: f = A^-1 (pen n + u_t t) lies inside the friction cone
+      (|f.t| <= mu f.n) -> the pusher holds the contact; the applied
+      impulse stays along the normal with the penetration-relaxation
+      magnitude pen (identical to the engaged-phase law the golden
+      step-level tests pin at ~1 mm / 0.1 deg).
+    * SLIP: the sticking force leaves the cone -> the impulse tilts to
+      the cone edge (n + mu sign(ft) t)/sqrt(1+mu^2), same magnitude;
+      the friction component OPPOSES the contact's sliding (typically
+      the block's rotation sweeping its corner past the pusher), damping
+      the corner-escape spin the round-2 always-normal model over-ran
+      (ensemble |dyaw| 36 deg vs MuJoCo's 12 deg).
+
+    Calibrated against host-MuJoCo golden rollouts
+    (scripts/calibrate_block_push.py; an earlier ad-hoc lever model
+    under-rotated by >10x, the round-2 frictionless-pusher model
+    over-rotated 3x in corner escape). Returns (new_pos, new_yaw)."""
     k2 = FRICTION_K2 if k2 is None else k2
+    mu = PUSHER_MU if mu is None else mu
     R = _rot(block_yaw)
     local = R.T @ (point - block_pos)
     # closest point on the box to the effector center
@@ -194,22 +234,39 @@ def _push_block(block_pos, block_yaw, point, radius, k2=None):
     inside = dist < 1e-9
     face = jnp.where(local >= 0, BLOCK_HALF - local, -BLOCK_HALF - local)
     pen = jnp.where(inside, radius + jnp.min(jnp.abs(face)), radius - dist)
-    # cap the per-substep penetration at the effector's substep advance:
-    # without it, corner contacts where the block ROTATES into the pusher
-    # spike pen and feed back into runaway rotation (the rigid-body golden
-    # rollouts resolve these by slipping around the corner instead)
+    # cap the per-substep penetration at the effector's substep advance
+    # (rotation feeding back into penetration is resolved by slip, but the
+    # cap also bounds the one-substep impulse for deep spawn overlaps)
     pen = jnp.clip(pen, 0.0, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
     # inward contact normal; center direction for the degenerate inside case
     n_out = delta / jnp.maximum(dist, 1e-9)            # surface -> effector
     to_center = -local / jnp.maximum(jnp.linalg.norm(local), 1e-9)
     n_in = jnp.where(inside, to_center, -n_out)
+    t_dir = jnp.asarray([-n_in[1], n_in[0]])           # contact tangent
     c = clamped
-    denom = k2 + jnp.sum(c * c)
-    v_local = pen * (k2 * n_in + jnp.dot(c, n_in) * c) / denom
-    dyaw = pen * (c[0] * n_in[1] - c[1] * n_in[0]) / denom
+    p = jnp.asarray([-c[1], c[0]])
+    D = k2 + jnp.sum(c * c)
+    A = (k2 * jnp.eye(2) + jnp.outer(p, p)) / D
+
+    # tangential migration drive: the pusher's substep displacement at the
+    # contact, in the local frame (zero if the caller has no motion info)
+    u_t = 0.0 if de is None else jnp.dot(R.T @ de, t_dir)
+    u = pen * n_in + jnp.where(pen > 0, u_t, 0.0) * t_dir
+
+    f_stick = jnp.linalg.solve(A, u)
+    fn = jnp.dot(f_stick, n_in)
+    ft = jnp.dot(f_stick, t_dir)
+    stick = jnp.abs(ft) <= mu * jnp.maximum(fn, 0.0)
+    edge = (n_in + mu * jnp.sign(ft) * t_dir) * jax.lax.rsqrt(1.0 + mu * mu)
+    f = pen * jnp.where(stick, n_in, edge)
+
+    # quasi-static twist for applied impulse f (identical to the round-2
+    # calibrated law when sticking: v = pen(k^2 n + (c.n)c)/D)
+    v_local = (k2 * f + jnp.dot(c, f) * c) / D
+    dyaw = jnp.dot(p, f) / D
     new_pos = block_pos + R @ v_local
     new_yaw = block_yaw + dyaw
-    return new_pos, new_yaw
+    return new_pos, new_yaw, pen > 0
 
 
 def _separate_blocks(pos_a, pos_b):
@@ -236,23 +293,64 @@ def block_push_step(state: BlockPushState, action: jnp.ndarray,
                    WORKSPACE_BOUNDS[0], WORKSPACE_BOUNDS[1])
 
     def substep(carry, _):
-        eff, bpos, byaw = carry
+        eff, bpos, byaw, bvel, byr = carry
         # velocity-limited tracking of the target
         to_tgt = tgt - eff
         d = jnp.linalg.norm(to_tgt)
         step_len = jnp.minimum(d, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
-        eff = eff + to_tgt / jnp.maximum(d, 1e-9) * step_len
-        # effector pushes each block
-        p0, y0 = _push_block(bpos[0], byaw[0], eff, EFFECTOR_RADIUS,
-                             friction_k2)
-        p1, y1 = _push_block(bpos[1], byaw[1], eff, EFFECTOR_RADIUS,
-                             friction_k2)
-        # block-block separation
-        p0, p1 = _separate_blocks(p0, p1)
-        return (eff, jnp.stack([p0, p1]), jnp.stack([y0, y1])), None
+        de = to_tgt / jnp.maximum(d, 1e-9) * step_len
+        eff = eff + de
 
-    (eff, bpos, byaw), _ = jax.lax.scan(
-        substep, (state.effector, state.block_pos, state.block_yaw),
+        # 1) knock-away coast: blocks keep their contact-implied velocity
+        # after separation, decaying under Coulomb ground friction — the
+        # 10-gram block escapes the pusher's path instead of staying glued
+        speed = jnp.linalg.norm(bvel, axis=-1, keepdims=True)
+        bvel = bvel * jnp.maximum(
+            0.0, 1.0 - GROUND_DECEL * SUB_DT / jnp.maximum(speed, 1e-9))
+        byr = byr * jnp.maximum(
+            0.0, 1.0 - YAW_DECEL * SUB_DT / jnp.maximum(jnp.abs(byr), 1e-9))
+        pos_start = bpos + bvel * SUB_DT
+        yaw_start = byaw + byr * SUB_DT
+
+        # 2) quasi-static contact resolution (motion-cone push model)
+        p0, y0, c0 = _push_block(pos_start[0], yaw_start[0], eff,
+                                 EFFECTOR_RADIUS, friction_k2, de)
+        p1, y1, c1 = _push_block(pos_start[1], yaw_start[1], eff,
+                                 EFFECTOR_RADIUS, friction_k2, de)
+        # block-block separation
+        bb_pen = 2 * BLOCK_BLOCK_RADIUS - jnp.linalg.norm(p1 - p0)
+        p0, p1 = _separate_blocks(p0, p1)
+        pos_new = jnp.stack([p0, p1])
+        yaw_new = jnp.stack([y0, y1])
+
+        # 3) contact implies velocity: a touched block moves WITH the
+        # resolution this substep and keeps that velocity when contact
+        # ends — capped at the pusher's own speed (restitution-0 contact
+        # cannot fling the block faster than the thing pushing it; the
+        # penetration-resolution spikes of corner contacts would otherwise
+        # kick at the full substep cap)
+        touched = jnp.stack([c0, c1]) | (bb_pen > 0)
+        v_imp = (pos_new - bpos) / SUB_DT
+        eff_speed = step_len / SUB_DT
+        v_mag = jnp.linalg.norm(v_imp, axis=-1, keepdims=True)
+        v_imp = v_imp * jnp.minimum(1.0, eff_speed / jnp.maximum(v_mag, 1e-9))
+        w_imp = (yaw_new - byaw) / SUB_DT
+        w_imp = jnp.clip(w_imp, -eff_speed / BLOCK_HALF,
+                         eff_speed / BLOCK_HALF)
+        # low-pass toward the implied velocity: real pushing is chattering
+        # contact whose duty cycle holds the block near the pusher's
+        # AVERAGE speed; refreshing to the instantaneous substep speed
+        # would launch the block at the effector's burst speed (1 m/s)
+        # when the stroke ends, coasting ~5 cm past the MuJoCo block
+        bvel = jnp.where(touched[:, None],
+                         KICK_ALPHA * v_imp + (1 - KICK_ALPHA) * bvel, bvel)
+        byr = jnp.where(jnp.stack([c0, c1]),
+                        KICK_ALPHA * w_imp + (1 - KICK_ALPHA) * byr, byr)
+        return (eff, pos_new, yaw_new, bvel, byr), None
+
+    (eff, bpos, byaw, bvel, byr), _ = jax.lax.scan(
+        substep, (state.effector, state.block_pos, state.block_yaw,
+                  state.block_vel, state.block_yawrate),
         None, length=N_SUBSTEPS)
 
     # ---- reward & completion (block_pushing_multimodal.py:395-438) ----
@@ -283,7 +381,7 @@ def block_push_step(state: BlockPushState, action: jnp.ndarray,
         effector=eff, effector_target=tgt, block_pos=bpos, block_yaw=byaw,
         target_pos=state.target_pos, target_yaw=state.target_yaw,
         in_target=in_target, completed=completed, done=done,
-        steps=state.steps + 1)
+        steps=state.steps + 1, block_vel=bvel, block_yawrate=byr)
 
     # freeze finished envs
     frozen = jax.tree.map(

@@ -121,7 +121,9 @@ def single_block_push_step(state: SingleBlockPushState, action: jnp.ndarray,
         d = jnp.linalg.norm(to_tgt)
         step_len = jnp.minimum(d, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
         eff = eff + to_tgt / jnp.maximum(d, 1e-9) * step_len
-        bpos, byaw = _push_block(bpos, byaw, eff, EFFECTOR_RADIUS)
+        # single-block variants stay purely quasi-static (no coast state);
+        # the motion-cone contact law is shared with the multimodal env
+        bpos, byaw, _contact = _push_block(bpos, byaw, eff, EFFECTOR_RADIUS)
         if task == "INSERT":
             bpos = _slot_gate(bpos)
         return (eff, bpos, byaw), None
