@@ -1,0 +1,135 @@
+"""Pinhole-camera RGB rendering of the block-push scene in pure JAX.
+
+Functional parity target: the reference's GL camera with RealSense D415
+parameters (`beso/envs/block_pushing/block_pushing.py:103-117` —
+DEFAULT_CAMERA_POSE (1.0, 0, 0.75), DEFAULT_CAMERA_ORIENTATION
+(pi/4, pi, -pi/2), intrinsics fx = fy = 0.803*W, cx = W/2, cy = H/2 at
+320x240 — and the OpenGL view construction at `block_pushing.py:627-658`:
+lookdir = R @ [0,0,1], updir = R @ [0,-1,0]).
+
+TPU-first design: the camera is FIXED, so the expensive part of
+ray-casting — pixel ray x table-plane intersection — is precomputed ONCE
+as an [H, W, 2] world-coordinate grid; per-frame rendering is then a
+handful of vectorized point-in-shape tests + soft edge blends over that
+grid (pure VPU work, vmap/jit/scan-friendly, runs inside the fused
+rollout). The scene is flattened onto the tabletop plane (the reference
+renders true 3-D geometry through Bullet's GL; the camera MODEL here is
+exact, the block height parallax is the documented approximation).
+
+`render_obs_rgb` renders from the 16-dim observation vector (the layout
+block_push_obs produces), so training can rasterize images on the fly
+from stored low-dim trajectories — no image dataset to ship.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from beso_tpu.envs.block_push.env import (BLOCK_HALF, EFFECTOR_RADIUS,
+                                          GOAL_DIST_TOLERANCE)
+
+# reference camera constants (block_pushing.py:103-117)
+CAMERA_POSE = np.asarray([1.0, 0.0, 0.75])
+CAMERA_ORIENTATION = np.asarray([np.pi / 4, np.pi, -np.pi / 2])  # XYZ Euler
+FOCAL_SCALE = 0.803          # fx = fy = 0.803 * width
+
+# default render resolution for the image policy (the reference trains
+# image policies on downsampled frames; the intrinsics scale with W/H)
+IMG_H, IMG_W = 64, 64
+
+_EDGE = 0.004                # soft edge width (m) for anti-aliased blends
+
+# scene palette (background table, blocks, targets, effector)
+_BG = np.asarray([0.92, 0.92, 0.90])
+_BLOCK_COLORS = np.asarray([[0.85, 0.20, 0.15], [0.15, 0.65, 0.25]])
+_TARGET_COLORS = np.asarray([[0.95, 0.55, 0.50], [0.55, 0.85, 0.60]])
+_EFFECTOR_COLOR = np.asarray([0.10, 0.10, 0.12])
+
+
+def _euler_xyz_to_matrix(e):
+    """pybullet getQuaternionFromEuler convention: extrinsic XYZ
+    (roll about x, pitch about y, yaw about z)."""
+    rx, ry, rz = e
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.asarray([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+@functools.lru_cache(maxsize=8)
+def table_grid(h: int = IMG_H, w: int = IMG_W,
+               zoom: float = 1.0) -> np.ndarray:
+    """Precomputed [h, w, 2] world xy where each pixel ray meets the
+    tabletop plane z=0 (the camera never moves).
+
+    `zoom` > 1 scales the focal length and re-aims the principal point at
+    the workspace center's projection — a central crop of the same
+    camera (identical pose and projective geometry; at the reference FOV
+    the 0.04 m blocks cover ~1% of a 64x64 frame, too few pixels for a
+    small learned encoder)."""
+    R = _euler_xyz_to_matrix(CAMERA_ORIENTATION)
+    fx = fy = FOCAL_SCALE * w * zoom
+    cx, cy = w / 2.0, h / 2.0
+    if zoom != 1.0:
+        # principal point -> projection of the workspace center (0.425, 0)
+        c_world = np.asarray([0.425, 0.0, 0.0])
+        d = R.T @ (c_world - CAMERA_POSE)       # camera-frame direction
+        cx = w / 2.0 - fx * d[0] / d[2]
+        cy = h / 2.0 - fy * d[1] / d[2]
+    u = np.arange(w) + 0.5
+    v = np.arange(h) + 0.5
+    uu, vv = np.meshgrid(u, v)
+    d_cam = np.stack([(uu - cx) / fx, (vv - cy) / fy, np.ones_like(uu)], -1)
+    d_world = d_cam @ R.T                       # [h, w, 3]
+    t = -CAMERA_POSE[2] / d_world[..., 2]       # ray parameter to z=0
+    pts = CAMERA_POSE[None, None, :] + d_world * t[..., None]
+    return pts[..., :2].astype(np.float32)      # [h, w, 2]
+
+
+def _soft_in_circle(grid, center, radius):
+    d = jnp.linalg.norm(grid - center[None, None, :], axis=-1)
+    return jnp.clip((radius - d) / _EDGE + 0.5, 0.0, 1.0)
+
+
+def _soft_in_square(grid, center, yaw, half):
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    rel = grid - center[None, None, :]
+    lx = rel[..., 0] * c + rel[..., 1] * s
+    ly = -rel[..., 0] * s + rel[..., 1] * c
+    dx = half - jnp.abs(lx)
+    dy = half - jnp.abs(ly)
+    d = jnp.minimum(dx, dy)                     # signed inset distance
+    return jnp.clip(d / _EDGE + 0.5, 0.0, 1.0)
+
+
+def render_obs_rgb(obs16: jnp.ndarray, h: int = IMG_H, w: int = IMG_W,
+                   zoom: float = 2.0) -> jnp.ndarray:
+    """RGB [h, w, 3] float32 in [0,1] from one 16-dim observation
+    ([b0 xy yaw, b1 xy yaw, effector xy, eff target xy, t0 xy yaw,
+    t1 xy yaw] — block_push_obs layout). vmap over batches/windows.
+    Default zoom=2 is the policy crop (covers the full block-spawn + target region) (see table_grid)."""
+    grid = jnp.asarray(table_grid(h, w, zoom))
+    img = jnp.broadcast_to(jnp.asarray(_BG, jnp.float32), (h, w, 3))
+
+    def blend(img, mask, color):
+        return img * (1 - mask[..., None]) + mask[..., None] * color
+
+    # target zones first (underneath)
+    for t, sl in enumerate((slice(10, 12), slice(13, 15))):
+        mask = _soft_in_circle(grid, obs16[sl], GOAL_DIST_TOLERANCE)
+        img = blend(img, mask, jnp.asarray(_TARGET_COLORS[t], jnp.float32))
+    # blocks
+    for b, (psl, ysl) in enumerate((((0, 2), 2), ((3, 5), 5))):
+        mask = _soft_in_square(grid, obs16[psl[0]:psl[1]], obs16[ysl],
+                               BLOCK_HALF)
+        img = blend(img, mask, jnp.asarray(_BLOCK_COLORS[b], jnp.float32))
+    # effector
+    mask = _soft_in_circle(grid, obs16[6:8], EFFECTOR_RADIUS)
+    img = blend(img, mask, jnp.asarray(_EFFECTOR_COLOR, jnp.float32))
+    return img

@@ -1,0 +1,126 @@
+"""End-to-end IMAGE-policy validation: camera renders -> conv encoder ->
+VisionDiffusionGPT -> fused batched evaluation (VERDICT r2 #6).
+
+Closes the vision loop entirely in-framework: scripted-oracle block-push
+demonstrations (low-dim obs on disk), on-the-fly pinhole-camera
+rasterization (envs/block_push/camera.py — the reference camera model,
+block_pushing.py:604-679) inside the jitted train/denoise steps, a
+CoordConv+SpatialSoftArgmax encoder trained end-to-end through the
+diffusion loss, and the standard 100 x 300 evaluation protocol
+(block_push_workspace.py:90-216).
+
+Usage: python scripts/validate_vision_e2e.py [--train-steps 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train-steps", type=int, default=20000)
+    parser.add_argument("--episodes", type=int, default=1024)
+    parser.add_argument("--batch-size", type=int, default=256)
+    parser.add_argument("--eval-n-times", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=6)
+    parser.add_argument("--img", type=int, default=64)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s [%(levelname)s] %(message)s")
+    log = logging.getLogger("validate_vision_e2e")
+
+    from beso_tpu.agents.policy import PolicyConfig
+    from beso_tpu.core.densities import make_sample_density
+    from beso_tpu.envs.block_push.goals import block_push_goal_frames
+    from beso_tpu.envs.block_push.oracle import generate_demonstrations
+    from beso_tpu.models.denoiser import GCDenoiser
+    from beso_tpu.models.vision_policy import VisionPolicyGPT
+    from beso_tpu.rollout.rollout import rollout_block_push
+    from beso_tpu.train.trainer import Trainer, make_optimizer
+    from beso_tpu.workspaces import BlockPushWorkspace
+
+    key = jax.random.PRNGKey(args.seed)
+    k_demo, k_init, k_train, k_eval = jax.random.split(key, 4)
+
+    t0 = time.time()
+    data = generate_demonstrations(k_demo, n_episodes=args.episodes,
+                                   n_steps=160)
+    log.info("demos done in %.1fs", time.time() - t0)
+
+    # full 16-dim observations (the renderer needs raw coordinates);
+    # identity input scaling, min-max action scaling
+    ws = BlockPushWorkspace(seed=args.seed, data=data, reduce_obs_dim=False,
+                            eval_n_times=args.eval_n_times, eval_n_steps=300)
+    scaler = dataclasses.replace(
+        ws.scaler,
+        x_mean=jnp.zeros_like(ws.scaler.x_mean),
+        x_std=jnp.ones_like(ws.scaler.x_std))
+
+    model = VisionPolicyGPT(action_dim=2, embed_dim=240, n_layers=4,
+                            n_heads=12, goal_seq_len=1, obs_seq_len=5,
+                            img_hw=(args.img, args.img), cond_mask_prob=0.1,
+                            dtype=jnp.bfloat16)
+    den = GCDenoiser(model, sigma_data=0.5)
+
+    trainer = Trainer(
+        denoiser=den,
+        optimizer=make_optimizer("adam", lr=1e-4, weight_decay=0.0),
+        sample_density=make_sample_density("loglogistic", sigma_data=0.5,
+                                           sigma_min=0.05, sigma_max=1.0),
+        scaler=scaler, max_train_steps=args.train_steps,
+        eval_every_n_steps=max(args.train_steps // 4, 1),
+        num_sampling_steps=3, sigma_min=0.05, sigma_max=1.0,
+        cond_mask_prob=0.1)
+    ts = trainer.init_state(k_init, ws.train_set.sample_batch(k_init, 8))
+    n_params = sum(x.size for x in jax.tree.leaves(ts.params))
+    log.info("vision policy: %d params", n_params)
+
+    t0 = time.time()
+    ts = trainer.train(ts, ws.train_set,
+                       lambda: [ws.test_set.sample_batch(
+                           jax.random.PRNGKey(123), 512)],
+                       k_train, batch_size=args.batch_size)
+    train_time = time.time() - t0
+    log.info("training done in %.1fs (%.1f steps/s)", train_time,
+             args.train_steps / train_time)
+
+    # evaluation: standard protocol, full engine (images preclude the
+    # prefix cache), 16-dim obs path
+    params = trainer.eval_params(ts)
+
+    def denoise(s, a, g, sig):
+        return den.apply(params, s, a, g, sig)
+
+    cfg = PolicyConfig(window_size=5, obs_dim=16, action_dim=2,
+                       num_sampling_steps=3, sigma_min=0.05,
+                       sampler_type="ddim")
+    goal_frames, expected = block_push_goal_frames(
+        ws.full_data, args.eval_n_times, args.seed, ws.train_fraction)
+    metrics = rollout_block_push(denoise, scaler, cfg,
+                                 jnp.asarray(goal_frames),
+                                 jnp.asarray(expected), k_eval,
+                                 n_steps=300, reduce_obs_dim=False)
+    result = float(jnp.mean(metrics.results))
+    reward = float(jnp.mean(metrics.rewards))
+    out = {"vision_result": round(result, 3), "vision_reward": round(reward, 3),
+           "train_steps_per_sec": round(args.train_steps / train_time, 1),
+           "params": int(n_params)}
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
