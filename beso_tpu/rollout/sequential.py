@@ -29,7 +29,8 @@ def rollout_kitchen_sequential(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
                                task_ids: jnp.ndarray,    # [B, 4]
                                expected: jnp.ndarray,    # [B, 7]
                                key, n_steps: int = 280,
-                               physics_params=None) -> RolloutMetrics:
+                               physics_params=None,
+                               budget_margin: int = 50) -> RolloutMetrics:
     from beso_tpu.envs.kitchen.env import DEFAULT_KITCHEN_PARAMS
 
     params = (physics_params if physics_params is not None
@@ -41,11 +42,13 @@ def rollout_kitchen_sequential(denoise_fn, scaler: Scaler, cfg: PolicyConfig,
     pstate = policy_reset(B, cfg)
 
     # per-stage budgets (kitchen_workspace_manager.py:360-367):
-    # stage k<3: tf[k] - tf[k-1] + 50 (tf[-1] := 0); stage 3: the episode cap
+    # stage k<3: tf[k] - tf[k-1] + margin (tf[-1] := 0; the reference's
+    # margin is 50 — `budget_margin` sweeps it, VERDICT r2 #7);
+    # stage 3: the episode cap
     prev_tf = jnp.concatenate([jnp.zeros((B, 1), timeframes.dtype),
                                timeframes[:, :2]], axis=1)
     budgets = jnp.concatenate([
-        timeframes[:, :3] - prev_tf + 50,
+        timeframes[:, :3] - prev_tf + budget_margin,
         jnp.full((B, 1), n_steps, timeframes.dtype)], axis=1)  # [B, 4]
 
     def body(carry, step_key):

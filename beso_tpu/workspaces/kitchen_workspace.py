@@ -148,7 +148,8 @@ class FrankaKitchenWorkspace(BaseWorkspace):
 
     def test_agent_on_sequential_tasks(self, agent, key=None, extra_args=None,
                                        log_metrics: bool = True,
-                                       physics_params=None, **overrides):
+                                       physics_params=None,
+                                       budget_margin: int = 50, **overrides):
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         goals, timeframes, task_ids, expected = sequential_kitchen_goals(
             self.full_data, self.goal_seq_len, self.eval_n_times, self.seed,
@@ -160,7 +161,8 @@ class FrankaKitchenWorkspace(BaseWorkspace):
                 denoise, agent.scaler, cfg, jnp.asarray(goals),
                 jnp.asarray(timeframes), jnp.asarray(task_ids),
                 jnp.asarray(expected), k, n_steps=self.eval_n_steps,
-                physics_params=physics_params)
+                physics_params=physics_params,
+                budget_margin=budget_margin)
         )(key)
         return self.compute_performance(metrics, expected, "sequential",
                                         log_metrics)
