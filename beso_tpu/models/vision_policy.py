@@ -69,8 +69,12 @@ class VisionPolicyGPT(nn.Module):
     n_heads: int = 12
     goal_seq_len: int = 1
     obs_seq_len: int = 5
-    embed_size: int = 32
-    img_hw: Tuple[int, int] = (64, 64)
+    embed_size: int = 48
+    # 128 px makes a 0.04 m block ~7 px in the zoom-2 crop; at 64 px it is
+    # ~3 px and the encoder goes block-blind (the policy then imitates the
+    # average up-field flow and sails past the blocks — measured failure)
+    img_hw: Tuple[int, int] = (128, 128)
+    enc_features: Tuple[int, ...] = (24, 48, 64)
     attn_pdrop: float = 0.05
     resid_pdrop: float = 0.05
     cond_mask_prob: float = 0.0
@@ -82,10 +86,13 @@ class VisionPolicyGPT(nn.Module):
         B, T, _ = states.shape
         G = goals.shape[1]
         h, w = self.img_hw
-        enc = ConvImageEncoder(self.embed_size, dtype=self.dtype)
+        enc = ConvImageEncoder(self.embed_size, features=self.enc_features,
+                               dtype=self.dtype)
 
         def render(o):
-            return render_obs_rgb(o, h, w)
+            # background-subtracted input: the sparse objects carry all the
+            # signal; a mean-dominated image hides 3-px-scale features
+            return render_obs_rgb(o, h, w) - jnp.asarray([0.92, 0.92, 0.90])
 
         s_img = jax.vmap(render)(states.reshape(B * T, 16))
         s_feat = enc(s_img).reshape(B, T, self.embed_size)

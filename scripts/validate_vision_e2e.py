@@ -36,7 +36,7 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--eval-n-times", type=int, default=100)
     parser.add_argument("--seed", type=int, default=6)
-    parser.add_argument("--img", type=int, default=64)
+    parser.add_argument("--img", type=int, default=128)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
