@@ -32,6 +32,23 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    atol=2e-5, rtol=2e-5)
 
+    def test_asymmetric_blocks_block_k_larger(self):
+        """block_k > block_q with T not a multiple of block_k: the forward
+        must pad to a multiple of BOTH blocks or the causal k-loop reads
+        past the padded refs (ADVICE r2)."""
+        import jax
+        import jax.numpy as jnp
+
+        from beso_tpu.ops.flash_attention import flash_attention
+
+        key = jax.random.PRNGKey(3)
+        q, k, v = (jax.random.normal(kk, (1, 2, 40, 16))
+                   for kk in jax.random.split(key, 3))
+        out = flash_attention(q, k, v, causal=True, block_q=8, block_k=32,
+                              interpret=True)
+        ref = flash_attention(q, k, v, causal=True, interpret=True)
+        assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
     def test_matches_reference_full(self):
         key = jax.random.PRNGKey(1)
         kq, kk, kv = jax.random.split(key, 3)
