@@ -162,18 +162,25 @@ def fused_gpt_apply(model, fp: FusedGPTParams, states, actions, goals, sigma,
 
 def make_fused_cached_denoise_fn(den, params: Any, goals_scaled, sigmas, *,
                                  env_block: int = ENV_BLOCK,
-                                 interpret: Optional[bool] = None):
+                                 interpret: Optional[bool] = None,
+                                 token_lanes: bool = True):
     """Combined engine: prefix-KV caching (models/cached.py) + the fused
     Pallas suffix layers. Per episode, the [sigma, goal] prefix K/V are
     built once per grid sigma (XLA, cheap); every denoiser call then runs
-    only the 2T suffix tokens through `fused_layer_with_prefix`, keeping
+    only the 2T suffix tokens through the fused prefix layers, keeping
     LayerNorms, attention and the MLP in VMEM.
+
+    `token_lanes=True` (round 3) uses the token-merged-lanes kernel: lanes
+    carry (token, env) pairs so the LN+QKV and proj+MLP phases are single
+    matmuls with no per-token fori_loop — measurably faster than the
+    phase-split kernel, whose loops Mosaic executes strictly serially.
 
     Same gating as the cached engine: grid-sigma samplers only. Returned
     `dn(states, actions, goals_ignored, sigma)` is EDM-preconditioned.
     """
     from beso_tpu.models.cached import build_prefix, extract_gpt_params
     from beso_tpu.ops.fused_layer import (fused_layer_with_prefix,
+                                          fused_layer_with_prefix_tl,
                                           padded_head_dim)
 
     model = den.inner_model
@@ -207,6 +214,19 @@ def make_fused_cached_denoise_fn(den, params: Any, goals_scaled, sigmas, *,
     pk_all = to_kernel_layout(prefix.k)
     pv_all = to_kernel_layout(prefix.v)
     B_pref = pk_all.shape[-1]
+    if token_lanes:
+        # precompute the token-merged-lanes prefix layout ONCE:
+        # [S, L, P, HD, B] -> [S, L, nB, HD, P*E]
+        nB_pref = B_pref // env_block
+
+        def to_tl(kv):
+            S, L, P, HDp, _ = kv.shape
+            return (kv.reshape(S, L, P, HDp, nB_pref, env_block)
+                    .transpose(0, 1, 4, 3, 2, 5)
+                    .reshape(S, L, nB_pref, HDp, P * env_block))
+
+        pk_all = to_tl(pk_all)
+        pv_all = to_tl(pv_all)
 
     def inner(states, actions, sigma):
         B, T, _ = states.shape
@@ -231,13 +251,29 @@ def make_fused_cached_denoise_fn(den, params: Any, goals_scaled, sigmas, *,
             raise ValueError(
                 f"prefix cache batch {B_pref} != padded call batch {Bp}")
 
-        x = seq.transpose(1, 2, 0)  # [2T, D, B]
-        for li, lp in enumerate(fp.layers):
-            x = fused_layer_with_prefix(
-                x, pk_all[idx, li], pv_all[idx, li], lp, n_heads=H,
-                head_dim=hd, approximate_gelu=model.approximate_gelu,
-                env_block=env_block, interpret=interpret)
-        x = x.transpose(2, 0, 1)[:B]  # [B, 2T, D]
+        T2 = 2 * T
+        if token_lanes:
+            # [B, 2T, D] -> [nB, D, 2T*E] with lane l = t*E + e; ONE
+            # conversion each way per call, all layers stay in-layout
+            nB = Bp // env_block
+            x = (seq.reshape(nB, env_block, T2, D)
+                 .transpose(0, 3, 2, 1).reshape(nB, D, T2 * env_block))
+            for li, lp in enumerate(fp.layers):
+                x = fused_layer_with_prefix_tl(
+                    x, pk_all[idx, li], pv_all[idx, li], lp, n_heads=H,
+                    head_dim=hd, suffix_len=T2,
+                    approximate_gelu=model.approximate_gelu,
+                    interpret=interpret)
+            x = (x.reshape(nB, D, T2, env_block).transpose(0, 3, 2, 1)
+                 .reshape(Bp, T2, D)[:B])
+        else:
+            x = seq.transpose(1, 2, 0)  # [2T, D, B]
+            for li, lp in enumerate(fp.layers):
+                x = fused_layer_with_prefix(
+                    x, pk_all[idx, li], pv_all[idx, li], lp, n_heads=H,
+                    head_dim=hd, approximate_gelu=model.approximate_gelu,
+                    env_block=env_block, interpret=interpret)
+            x = x.transpose(2, 0, 1)[:B]  # [B, 2T, D]
 
         xf = x.astype(jnp.float32)
         mu = xf.mean(-1, keepdims=True)

@@ -370,3 +370,115 @@ def fused_layer_reference(x, p: FusedLayerParams, *, n_heads: int,
     hh = jnp.stack([mm(p.wfc_t, h2[i], p.bfc, jnp.float32) for i in range(T)])
     hh = jax.nn.gelu(hh, approximate=approximate_gelu).astype(dtype)
     return x1 + jnp.stack([mm(p.wfc2_t, hh[i], p.bfc2) for i in range(T)])
+
+
+# ---------------------------------------------------------------------------
+# token-merged-lanes prefix variant (round 3): lanes carry (token, env)
+# pairs, so the LN+QKV and proj+MLP phases are SINGLE matmuls over all
+# T*E lanes with no per-token fori_loop — the serialization Mosaic's
+# unroll=1 imposed on the phase loops (ROADMAP r2 #5's headroom) simply
+# disappears for the MXU phases; only attention keeps a token loop.
+# ---------------------------------------------------------------------------
+
+
+def _layer_kernel_prefix_tl(n_heads: int, head_dim: int,
+                            approximate_gelu: bool, suffix_len: int,
+                            # refs:
+                            ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+                            ln2s, ln2b, wfc, bfc, wfc2, bfc2,
+                            pk_ref, pv_ref, x_ref, o_ref, qkv_ref):
+    """x_ref: [1, D, T*E] (lane l = t*E + e), pk/pv: [1, HD, P*E],
+    o_ref: [1, D, T*E], qkv scratch: [3HD, T*E]."""
+    T = suffix_len
+    H = n_heads
+    HD = qkv_ref.shape[0] // 3
+    hdp = HD // H
+    TE = x_ref.shape[2]
+    E = TE // T
+    P = pk_ref.shape[2] // E
+    dtype = x_ref.dtype
+    scale = 1.0 / (head_dim ** 0.5)
+
+    # ---- phase 1 (MXU): LN1 + fused QKV for ALL tokens in one matmul -----
+    h = _layernorm(x_ref[0], ln1s[:], ln1b[:], dtype)
+    qkv_ref[:, :] = _matmul(wqkv[:], h, bqkv[:], dtype)
+
+    # ---- phase 2 (VPU): causal attention over lane-tile slices -----------
+    def heads(sl):
+        return sl.reshape(H, hdp, E)
+
+    # statically unrolled token loop: every lane slice is a static
+    # tile-aligned slice (Mosaic rejects DYNAMIC lane-dim offsets; the
+    # round-2 full-unroll VMEM blowup applied to the matmul phases, which
+    # now live outside the loop as single whole-buffer matmuls)
+    for i in range(T):
+        qi = heads(qkv_ref[0:HD, i * E:(i + 1) * E])
+        # prefix scores (always visible) + own causal scores j <= i
+        s_parts = []
+        for j in range(P):
+            kj = heads(pk_ref[0, :, j * E:(j + 1) * E])
+            s_parts.append(jnp.sum(qi * kj, axis=1))        # [H, E]
+        for j in range(i + 1):
+            kj = heads(qkv_ref[HD:2 * HD, j * E:(j + 1) * E])
+            s_parts.append(jnp.sum(qi * kj, axis=1))
+        s = jnp.stack(s_parts, axis=1).astype(jnp.float32) * scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dtype)
+        y = jnp.zeros((H, hdp, E), dtype)
+        for j in range(P):
+            vj = heads(pv_ref[0, :, j * E:(j + 1) * E])
+            y = y + p[:, j][:, None] * vj
+        for j in range(i + 1):
+            vj = heads(qkv_ref[2 * HD:, j * E:(j + 1) * E])
+            y = y + p[:, P + j][:, None] * vj
+        # overwrite token i's q slot (q is consumed exactly once; later
+        # queries never read earlier q slots)
+        qkv_ref[0:HD, i * E:(i + 1) * E] = y.reshape(HD, E)
+
+    # ---- phase 3 (MXU): proj + residual, LN2 + MLP + residual ------------
+    x1 = x_ref[0] + _matmul(wproj[:], qkv_ref[0:HD], bproj[:], dtype)
+    h2 = _layernorm(x1, ln2s[:], ln2b[:], dtype)
+    h2 = _matmul(wfc[:], h2, bfc[:], dtype)
+    h2 = jax.nn.gelu(h2, approximate=approximate_gelu)
+    o_ref[0] = x1 + _matmul(wfc2[:], h2, bfc2[:], dtype)
+
+
+def fused_layer_with_prefix_tl(x_tl: jnp.ndarray, pk_tl: jnp.ndarray,
+                               pv_tl: jnp.ndarray, p: FusedLayerParams, *,
+                               n_heads: int, head_dim: int, suffix_len: int,
+                               approximate_gelu: bool = True,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Token-merged-lanes fused block.
+
+    x_tl: [nB, D, T*E] with lane l = t*E + e (token-major within a block);
+    pk_tl/pv_tl: [nB, HD, P*E]. Returns the same layout. Conversions to and
+    from [B, T, D] live in models/fused.py and happen ONCE per call, not
+    per layer."""
+    nB, D, TE = x_tl.shape
+    HD = p.wqkv_t.shape[0] // 3
+    PE = pk_tl.shape[2]
+
+    kern = functools.partial(_layer_kernel_prefix_tl, n_heads, head_dim,
+                             approximate_gelu, suffix_len)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def bmap(i):
+        return (i, 0, 0)
+
+    return pl.pallas_call(
+        kern,
+        grid=(nB,),
+        in_specs=[w_spec] * 12 + [
+            pl.BlockSpec((1, HD, PE), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD, PE), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, TE), bmap, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, D, TE), bmap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nB, D, TE), x_tl.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3 * HD, TE), x_tl.dtype),
+        ],
+        interpret=interpret,
+    )(p.ln1_scale, p.ln1_bias, p.wqkv_t, p.bqkv, p.wproj_t, p.bproj,
+      p.ln2_scale, p.ln2_bias, p.wfc_t, p.bfc, p.wfc2_t, p.bfc2,
+      pk_tl, pv_tl, x_tl)
