@@ -169,6 +169,27 @@ class TestFusedCached:
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        atol=1e-5, rtol=1e-4)
 
+    def test_token_lanes_matches_phase_split(self):
+        """The round-3 token-merged-lanes kernel and the round-2
+        phase-split kernel compute identical suffix forwards."""
+        from beso_tpu.models.fused import make_fused_cached_denoise_fn
+
+        model = DiffusionGPT(**KITCHEN)
+        den = GCDenoiser(model, sigma_data=0.5)
+        s, a, g, sig, k = _inputs(KITCHEN, B=16, key=13)
+        params = den.init(k, s, a, g, sig)
+        sigmas = jnp.asarray([1.0, 0.18, 0.032])
+        dn_tl = make_fused_cached_denoise_fn(den, params, g, sigmas,
+                                             env_block=8, interpret=True,
+                                             token_lanes=True)
+        dn_ps = make_fused_cached_denoise_fn(den, params, g, sigmas,
+                                             env_block=8, interpret=True,
+                                             token_lanes=False)
+        sig_b = jnp.full((16,), 0.18)
+        np.testing.assert_allclose(np.asarray(dn_tl(s, a, g, sig_b)),
+                                   np.asarray(dn_ps(s, a, g, sig_b)),
+                                   atol=1e-5, rtol=1e-4)
+
     def test_rollout_metrics_match_cached(self):
         """fused_cached and cached engines agree end-to-end in a rollout."""
         from beso_tpu.agents.policy import PolicyConfig
