@@ -133,3 +133,24 @@ def render_obs_rgb(obs16: jnp.ndarray, h: int = IMG_H, w: int = IMG_W,
     mask = _soft_in_circle(grid, obs16[6:8], EFFECTOR_RADIUS)
     img = blend(img, mask, jnp.asarray(_EFFECTOR_COLOR, jnp.float32))
     return img
+
+
+def render_obs_masks(obs16: jnp.ndarray, h: int = IMG_H, w: int = IMG_W,
+                     zoom: float = 2.0) -> jnp.ndarray:
+    """Per-object soft masks [h, w, 5] through the SAME camera model:
+    (block0, block1, target0, target1, effector).
+
+    The reference's GL render itself requests
+    ER_SEGMENTATION_MASK_OBJECT_AND_LINKINDEX (block_pushing.py:670) — the
+    semantic channels exist in its camera output; this variant exposes
+    them directly instead of collapsing to RGB, which matters at policy
+    resolutions where a block spans a handful of pixels."""
+    grid = jnp.asarray(table_grid(h, w, zoom))
+    chans = [
+        _soft_in_square(grid, obs16[0:2], obs16[2], BLOCK_HALF),
+        _soft_in_square(grid, obs16[3:5], obs16[5], BLOCK_HALF),
+        _soft_in_circle(grid, obs16[10:12], GOAL_DIST_TOLERANCE),
+        _soft_in_circle(grid, obs16[13:15], GOAL_DIST_TOLERANCE),
+        _soft_in_circle(grid, obs16[6:8], EFFECTOR_RADIUS),
+    ]
+    return jnp.stack(chans, axis=-1)

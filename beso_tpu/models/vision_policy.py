@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from beso_tpu.envs.block_push.camera import render_obs_rgb
+from beso_tpu.envs.block_push.camera import (render_obs_masks,
+                                              render_obs_rgb)
 from beso_tpu.models.gpt import VisionDiffusionGPT
 from beso_tpu.models.vision import CoordConv, SpatialSoftArgmax
 
@@ -75,6 +76,10 @@ class VisionPolicyGPT(nn.Module):
     # average up-field flow and sails past the blocks — measured failure)
     img_hw: Tuple[int, int] = (128, 128)
     enc_features: Tuple[int, ...] = (24, 48, 64)
+    # semantic=True feeds the camera's per-object mask channels instead of
+    # RGB (the reference GL render itself requests the segmentation mask,
+    # block_pushing.py:670)
+    semantic: bool = False
     attn_pdrop: float = 0.05
     resid_pdrop: float = 0.05
     cond_mask_prob: float = 0.0
@@ -90,6 +95,8 @@ class VisionPolicyGPT(nn.Module):
                                dtype=self.dtype)
 
         def render(o):
+            if self.semantic:
+                return render_obs_masks(o, h, w)
             # background-subtracted input: the sparse objects carry all the
             # signal; a mean-dominated image hides 3-px-scale features
             return render_obs_rgb(o, h, w) - jnp.asarray([0.92, 0.92, 0.90])

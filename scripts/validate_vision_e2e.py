@@ -37,6 +37,8 @@ def main(argv=None):
     parser.add_argument("--eval-n-times", type=int, default=100)
     parser.add_argument("--seed", type=int, default=6)
     parser.add_argument("--img", type=int, default=128)
+    parser.add_argument("--semantic", action="store_true",
+                        help="per-object mask channels instead of RGB")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -72,7 +74,7 @@ def main(argv=None):
     model = VisionPolicyGPT(action_dim=2, embed_dim=240, n_layers=4,
                             n_heads=12, goal_seq_len=1, obs_seq_len=5,
                             img_hw=(args.img, args.img), cond_mask_prob=0.1,
-                            dtype=jnp.bfloat16)
+                            semantic=args.semantic, dtype=jnp.bfloat16)
     den = GCDenoiser(model, sigma_data=0.5)
 
     trainer = Trainer(
@@ -115,7 +117,8 @@ def main(argv=None):
                                  n_steps=300, reduce_obs_dim=False)
     result = float(jnp.mean(metrics.results))
     reward = float(jnp.mean(metrics.rewards))
-    out = {"vision_result": round(result, 3), "vision_reward": round(reward, 3),
+    out = {"semantic": bool(args.semantic),
+           "vision_result": round(result, 3), "vision_reward": round(reward, 3),
            "train_steps_per_sec": round(args.train_steps / train_time, 1),
            "params": int(n_params)}
     print(json.dumps(out))
