@@ -525,7 +525,8 @@ def sample_loop(
         return sample_heun(denoise_fn, x, sigmas, key, s_churn=s_churn,
                            s_tmin=s_tmin, clip_fn=clip_fn)
     if sampler_type == "euler":
-        return sample_euler(denoise_fn, x, sigmas, key, clip_fn=clip_fn)
+        return sample_euler(denoise_fn, x, sigmas, key, s_churn=s_churn,
+                            s_tmin=s_tmin, clip_fn=clip_fn)
     if sampler_type == "ancestral":
         return sample_dpm_2_ancestral(denoise_fn, x, sigmas, key, eta=eta,
                                       clip_fn=clip_fn)

@@ -192,3 +192,26 @@ class TestDispatchAndMisc:
         ll, info = log_likelihood(den, action, 1e-3, 50.0, n_steps=128)
         want = -0.5 * np.asarray(action).ravel() ** 2 - 0.5 * math.log(2 * math.pi)
         np.testing.assert_allclose(np.asarray(ll), want, atol=5e-2)
+
+
+class TestChurnDispatch:
+    def test_sample_loop_forwards_churn_to_euler(self):
+        """Regression: the 'euler' dispatch dropped s_churn (found when a
+        100-episode churn sweep returned bitwise-identical results for
+        every churn value)."""
+        import jax
+        import jax.numpy as jnp
+
+        from beso_tpu.core.schedules import get_noise_schedule
+        from beso_tpu.sampling.samplers import sample_loop
+
+        def dn(a, sig):
+            return a * 0.5
+
+        sig = get_noise_schedule(3, 0.005, 1.0, 5.0, "exponential")
+        x = jnp.ones((4, 9))
+        k = jax.random.PRNGKey(0)
+        base = sample_loop("euler", dn, x, sig, k, s_churn=0.0, s_tmin=0.0)
+        churned = sample_loop("euler", dn, x, sig, k, s_churn=1.0,
+                              s_tmin=0.0)
+        assert float(jnp.abs(base - churned).max()) > 1e-6
