@@ -407,50 +407,34 @@ def _layer_kernel_prefix_tl(n_heads: int, head_dim: int,
     def heads(sl):
         return sl.reshape(H, hdp, E)
 
-    # ALL-QUERY batched attention via lane rotations: for offset d, a
-    # lane-rotated K pairs query token i (lane block i) with key token
-    # i-d, so ONE whole-buffer multiply-reduce per offset scores every
-    # query at once (T reduces instead of T(T+1)/2 pairwise ones); the
-    # prefix keys are lane-tiled to all queries. Causality = lane-block
-    # masking (token index from a lane iota), all static and tile-aligned.
-    q_all = qkv_ref[0:HD].reshape(H, hdp, T * E)
-    k_all = qkv_ref[HD:2 * HD]
-    v_all = qkv_ref[2 * HD:]
-    lane_tok = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, T * E), 2) // E               # query token index
-
-    def rot(buf, d):
-        # pair lane block i with block i-d (d static, tile-aligned concat)
-        if d == 0:
-            return buf
-        return jnp.concatenate(
-            [buf[:, (T - d) * E:], buf[:, :(T - d) * E]], axis=1)
-
-    def tile_pref(sl):
-        return jnp.concatenate([sl] * T, axis=1)        # [HD, T*E]
-
-    s_parts = []
-    for j in range(P):
-        kj = tile_pref(pk_ref[0, :, j * E:(j + 1) * E]).reshape(H, hdp,
-                                                                T * E)
-        s_parts.append(jnp.sum(q_all * kj, axis=1))     # [H, T*E]
-    for d in range(T):
-        kd = rot(k_all, d).reshape(H, hdp, T * E)
-        s_d = jnp.sum(q_all * kd, axis=1)
-        s_parts.append(jnp.where(lane_tok[0] >= d, s_d, -jnp.inf))
-    s = jnp.stack(s_parts, axis=1).astype(jnp.float32) * scale  # [H,S,TE]
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dtype)
-    y = jnp.zeros((H, hdp, T * E), dtype)
-    for j in range(P):
-        vj = tile_pref(pv_ref[0, :, j * E:(j + 1) * E]).reshape(H, hdp,
-                                                                T * E)
-        y = y + p[:, j][:, None] * vj
-    for d in range(T):
-        vd = rot(v_all, d).reshape(H, hdp, T * E)
-        y = y + p[:, P + d][:, None] * vd
-    qkv_ref[0:HD, :] = y.reshape(HD, T * E)
+    # statically unrolled token loop: every lane slice is a static
+    # tile-aligned slice (Mosaic rejects DYNAMIC lane-dim offsets; the
+    # round-2 full-unroll VMEM blowup applied to the matmul phases, which
+    # now live outside the loop as single whole-buffer matmuls)
+    for i in range(T):
+        qi = heads(qkv_ref[0:HD, i * E:(i + 1) * E])
+        # prefix scores (always visible) + own causal scores j <= i
+        s_parts = []
+        for j in range(P):
+            kj = heads(pk_ref[0, :, j * E:(j + 1) * E])
+            s_parts.append(jnp.sum(qi * kj, axis=1))        # [H, E]
+        for j in range(i + 1):
+            kj = heads(qkv_ref[HD:2 * HD, j * E:(j + 1) * E])
+            s_parts.append(jnp.sum(qi * kj, axis=1))
+        s = jnp.stack(s_parts, axis=1).astype(jnp.float32) * scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dtype)
+        y = jnp.zeros((H, hdp, E), dtype)
+        for j in range(P):
+            vj = heads(pv_ref[0, :, j * E:(j + 1) * E])
+            y = y + p[:, j][:, None] * vj
+        for j in range(i + 1):
+            vj = heads(qkv_ref[2 * HD:, j * E:(j + 1) * E])
+            y = y + p[:, P + j][:, None] * vj
+        # overwrite token i's q slot (q is consumed exactly once; later
+        # queries never read earlier q slots)
+        qkv_ref[0:HD, i * E:(i + 1) * E] = y.reshape(HD, E)
 
     # ---- phase 3 (MXU): proj + residual, LN2 + MLP + residual ------------
     x1 = x_ref[0] + _matmul(wproj[:], qkv_ref[0:HD], bproj[:], dtype)
