@@ -334,6 +334,206 @@ def fused_layer(x: jnp.ndarray, p: FusedLayerParams, *, n_heads: int,
       p.ln2_scale, p.ln2_bias, p.wfc_t, p.bfc, p.wfc2_t, p.bfc2, x)
 
 
+# ---------------------------------------------------------------------------
+# token-merged-lanes prefix variant (round 3): lanes carry (token, env)
+# pairs, so the LN+QKV and proj+MLP phases are SINGLE matmuls over all
+# T*E lanes with no per-token fori_loop — the serialization Mosaic's
+# unroll=1 imposed on the phase loops (ROADMAP r2 #5's headroom) simply
+# disappears for the MXU phases; only attention keeps a token loop.
+# ---------------------------------------------------------------------------
+
+
+def _tl_attention(qbatch: bool, T: int, P: int, H: int, hdp: int, E: int,
+                  scale: float, dtype, pk, pv, qkv_ref):
+    """Shared attention phase of the token-merged-lanes kernel.
+
+    `pk`/`pv` are [HD, P*E] arrays (already read from their refs);
+    `qkv_ref` is the [3HD, T*E] scratch whose q slots are overwritten with
+    the attention output."""
+    HD = H * hdp
+    TE = T * E
+
+    def heads(sl):
+        return sl.reshape(H, hdp, E)
+
+    if qbatch:
+        # key-batched form (ROADMAP r3 #5): every key's scores against ALL
+        # T*E query lanes in ONE multiply-reduce, score stack [H, S, T*E]
+        # with the softmax on the sublane (S) axis, causality a lane-iota
+        # mask. Measured within ~2% of the unrolled form on chip.
+        q3 = qkv_ref[0:HD].reshape(H, hdp, TE)
+
+        def tile(sl):
+            return jnp.concatenate([sl] * T, axis=2)        # [H, hdp, TE]
+
+        s_parts = []
+        for j in range(P):
+            kt = tile(heads(pk[:, j * E:(j + 1) * E]))
+            s_parts.append(jnp.sum(q3 * kt, axis=1))        # [H, TE]
+        for j in range(T):
+            kt = tile(heads(qkv_ref[HD:2 * HD, j * E:(j + 1) * E]))
+            s_parts.append(jnp.sum(q3 * kt, axis=1))
+        s = jnp.stack(s_parts, axis=1).astype(jnp.float32) * scale
+        tok = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TE), 2) // E
+        key_idx = jax.lax.broadcasted_iota(
+            jnp.int32, (1, P + T, 1), 1) - P                # <0 for prefix
+        s = jnp.where(key_idx <= tok, s, -jnp.inf)          # [H, S, TE]
+        m = jnp.max(s, axis=1, keepdims=True)
+        pr = jnp.exp(s - m)
+        pr = (pr / jnp.sum(pr, axis=1, keepdims=True)).astype(dtype)
+        y = jnp.zeros((H, hdp, TE), dtype)
+        for j in range(P):
+            vt = tile(heads(pv[:, j * E:(j + 1) * E]))
+            y = y + pr[:, j][:, None] * vt
+        for j in range(T):
+            vt = tile(heads(qkv_ref[2 * HD:, j * E:(j + 1) * E]))
+            y = y + pr[:, P + j][:, None] * vt
+        qkv_ref[0:HD] = y.reshape(HD, TE)
+        return
+
+    for i in range(T):
+        qi = heads(qkv_ref[0:HD, i * E:(i + 1) * E])
+        s_parts = []
+        for j in range(P):
+            s_parts.append(jnp.sum(qi * heads(pk[:, j * E:(j + 1) * E]),
+                                   axis=1))                 # [H, E]
+        for j in range(i + 1):
+            kj = heads(qkv_ref[HD:2 * HD, j * E:(j + 1) * E])
+            s_parts.append(jnp.sum(qi * kj, axis=1))
+        s = jnp.stack(s_parts, axis=1).astype(jnp.float32) * scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        pr = jnp.exp(s - m)
+        pr = (pr / jnp.sum(pr, axis=1, keepdims=True)).astype(dtype)
+        y = jnp.zeros((H, hdp, E), dtype)
+        for j in range(P):
+            y = y + pr[:, j][:, None] * heads(pv[:, j * E:(j + 1) * E])
+        for j in range(i + 1):
+            vj = heads(qkv_ref[2 * HD:, j * E:(j + 1) * E])
+            y = y + pr[:, P + j][:, None] * vj
+        qkv_ref[0:HD, i * E:(i + 1) * E] = y.reshape(HD, E)
+
+
+def _layer_kernel_prefix_tl_v2(n_heads: int, head_dim: int,
+                               approximate_gelu: bool, suffix_len: int,
+                               qbatch: bool, epilogue: bool,
+                               # scalar-prefetch ref:
+                               idx_ref,
+                               # refs:
+                               ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+                               ln2s, ln2b, wfc, bfc, wfc2, bfc2,
+                               *rest):
+    """v2 tl kernel: the per-sigma prefix K/V block is selected by the
+    scalar-prefetched grid index (idx_ref) via the BlockSpec index map —
+    no HBM-level dynamic-slice copy of the whole prefix cache per call.
+
+    With `epilogue`, the block additionally applies the final LayerNorm
+    and the linear action head IN the kernel ([D, T*E] layout: ln_f is a
+    sublane reduction, the head one [Mp, D] @ [D, T*E] matmul), writing a
+    second f32 output [1, Mp, T*E] — this removes the f32 [B, 2T, D]
+    LayerNorm/reshape traffic XLA otherwise runs per call.
+    """
+    del idx_ref  # consumed by the index maps only
+    if epilogue:
+        (lnfs, lnfb, whead, bhead, pk_ref, pv_ref, x_ref,
+         o_ref, pred_ref, qkv_ref) = rest
+    else:
+        pk_ref, pv_ref, x_ref, o_ref, qkv_ref = rest
+    T = suffix_len
+    H = n_heads
+    HD = qkv_ref.shape[0] // 3
+    hdp = HD // H
+    TE = x_ref.shape[2]
+    E = TE // T
+    P = pk_ref.shape[3] // E
+    dtype = x_ref.dtype
+    scale = 1.0 / (head_dim ** 0.5)
+
+    h = _layernorm(x_ref[0], ln1s[:], ln1b[:], dtype)
+    qkv_ref[:, :] = _matmul(wqkv[:], h, bqkv[:], dtype)
+
+    _tl_attention(qbatch, T, P, H, hdp, E, scale, dtype,
+                  pk_ref[0, 0], pv_ref[0, 0], qkv_ref)
+
+    x1 = x_ref[0] + _matmul(wproj[:], qkv_ref[0:HD], bproj[:], dtype)
+    h2 = _layernorm(x1, ln2s[:], ln2b[:], dtype)
+    h2 = _matmul(wfc[:], h2, bfc[:], dtype)
+    h2 = jax.nn.gelu(h2, approximate=approximate_gelu)
+    out = x1 + _matmul(wfc2[:], h2, bfc2[:], dtype)
+    o_ref[0] = out
+    if epilogue:
+        xe = _layernorm(out, lnfs[:], lnfb[:], jnp.float32)
+        pred_ref[0] = jax.lax.dot_general(
+            whead[:], xe, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bhead[:]
+
+
+def fused_layer_prefix_tl_v2(x_tl: jnp.ndarray, pk_all: jnp.ndarray,
+                             pv_all: jnp.ndarray, idx: jnp.ndarray,
+                             p: FusedLayerParams, *, n_heads: int,
+                             head_dim: int, suffix_len: int,
+                             approximate_gelu: bool = True,
+                             qbatch: bool = True,
+                             epilogue=None,
+                             interpret: bool = False):
+    """Token-merged-lanes fused block, v2.
+
+    x_tl: [nB, D, T*E]; pk_all/pv_all: [S, nB, HD, P*E] (ALL grid sigmas);
+    idx: int32 [1], the sigma-grid row — consumed by the prefix BlockSpec
+    index maps through scalar prefetch, so only the selected row's blocks
+    are ever DMA'd. `epilogue`, if given, is (lnf_scale[D,1]f32,
+    lnf_bias[D,1]f32, head_w[Mp,D]f32, head_b[Mp,1]f32) and adds a second
+    output [nB, Mp, T*E] f32 = head(ln_f(layer_out)).
+    """
+    nB, D, TE = x_tl.shape
+    HD = p.wqkv_t.shape[0] // 3
+    PE = pk_all.shape[3]
+
+    kern = functools.partial(_layer_kernel_prefix_tl_v2, n_heads, head_dim,
+                             approximate_gelu, suffix_len, qbatch,
+                             epilogue is not None)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def bmap(i, idx_ref):
+        return (i, 0, 0)
+
+    def pmap_(i, idx_ref):
+        return (idx_ref[0], i, 0, 0)
+
+    n_w = 12 + (4 if epilogue is not None else 0)
+    in_specs = [w_spec] * n_w + [
+        pl.BlockSpec((1, 1, HD, PE), pmap_, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, HD, PE), pmap_, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, TE), bmap, memory_space=pltpu.VMEM)]
+    out_spec = pl.BlockSpec((1, D, TE), bmap, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nB, D, TE), x_tl.dtype)
+    if epilogue is not None:
+        Mp = epilogue[2].shape[0]
+        out_specs = [out_spec,
+                     pl.BlockSpec((1, Mp, TE), bmap,
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [out_shape,
+                      jax.ShapeDtypeStruct((nB, Mp, TE), jnp.float32)]
+    else:
+        out_specs = out_spec
+        out_shapes = out_shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nB,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((3 * HD, TE), x_tl.dtype)],
+    )
+    args = [p.ln1_scale, p.ln1_bias, p.wqkv_t, p.bqkv, p.wproj_t, p.bproj,
+            p.ln2_scale, p.ln2_bias, p.wfc_t, p.bfc, p.wfc2_t, p.bfc2]
+    if epilogue is not None:
+        args += list(epilogue)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shapes,
+        interpret=interpret,
+    )(idx, *args, pk_all, pv_all, x_tl)
+
+
 def fused_layer_reference(x, p: FusedLayerParams, *, n_heads: int,
                           head_dim: int, approximate_gelu: bool = True):
     """Pure-jnp reference of the kernel math (same [T, D, B] layout), for
@@ -370,115 +570,3 @@ def fused_layer_reference(x, p: FusedLayerParams, *, n_heads: int,
     hh = jnp.stack([mm(p.wfc_t, h2[i], p.bfc, jnp.float32) for i in range(T)])
     hh = jax.nn.gelu(hh, approximate=approximate_gelu).astype(dtype)
     return x1 + jnp.stack([mm(p.wfc2_t, hh[i], p.bfc2) for i in range(T)])
-
-
-# ---------------------------------------------------------------------------
-# token-merged-lanes prefix variant (round 3): lanes carry (token, env)
-# pairs, so the LN+QKV and proj+MLP phases are SINGLE matmuls over all
-# T*E lanes with no per-token fori_loop — the serialization Mosaic's
-# unroll=1 imposed on the phase loops (ROADMAP r2 #5's headroom) simply
-# disappears for the MXU phases; only attention keeps a token loop.
-# ---------------------------------------------------------------------------
-
-
-def _layer_kernel_prefix_tl(n_heads: int, head_dim: int,
-                            approximate_gelu: bool, suffix_len: int,
-                            # refs:
-                            ln1s, ln1b, wqkv, bqkv, wproj, bproj,
-                            ln2s, ln2b, wfc, bfc, wfc2, bfc2,
-                            pk_ref, pv_ref, x_ref, o_ref, qkv_ref):
-    """x_ref: [1, D, T*E] (lane l = t*E + e), pk/pv: [1, HD, P*E],
-    o_ref: [1, D, T*E], qkv scratch: [3HD, T*E]."""
-    T = suffix_len
-    H = n_heads
-    HD = qkv_ref.shape[0] // 3
-    hdp = HD // H
-    TE = x_ref.shape[2]
-    E = TE // T
-    P = pk_ref.shape[2] // E
-    dtype = x_ref.dtype
-    scale = 1.0 / (head_dim ** 0.5)
-
-    # ---- phase 1 (MXU): LN1 + fused QKV for ALL tokens in one matmul -----
-    h = _layernorm(x_ref[0], ln1s[:], ln1b[:], dtype)
-    qkv_ref[:, :] = _matmul(wqkv[:], h, bqkv[:], dtype)
-
-    # ---- phase 2 (VPU): causal attention over lane-tile slices -----------
-    def heads(sl):
-        return sl.reshape(H, hdp, E)
-
-    # statically unrolled token loop: every lane slice is a static
-    # tile-aligned slice (Mosaic rejects DYNAMIC lane-dim offsets; the
-    # round-2 full-unroll VMEM blowup applied to the matmul phases, which
-    # now live outside the loop as single whole-buffer matmuls)
-    for i in range(T):
-        qi = heads(qkv_ref[0:HD, i * E:(i + 1) * E])
-        # prefix scores (always visible) + own causal scores j <= i
-        s_parts = []
-        for j in range(P):
-            kj = heads(pk_ref[0, :, j * E:(j + 1) * E])
-            s_parts.append(jnp.sum(qi * kj, axis=1))        # [H, E]
-        for j in range(i + 1):
-            kj = heads(qkv_ref[HD:2 * HD, j * E:(j + 1) * E])
-            s_parts.append(jnp.sum(qi * kj, axis=1))
-        s = jnp.stack(s_parts, axis=1).astype(jnp.float32) * scale
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dtype)
-        y = jnp.zeros((H, hdp, E), dtype)
-        for j in range(P):
-            vj = heads(pv_ref[0, :, j * E:(j + 1) * E])
-            y = y + p[:, j][:, None] * vj
-        for j in range(i + 1):
-            vj = heads(qkv_ref[2 * HD:, j * E:(j + 1) * E])
-            y = y + p[:, P + j][:, None] * vj
-        # overwrite token i's q slot (q is consumed exactly once; later
-        # queries never read earlier q slots)
-        qkv_ref[0:HD, i * E:(i + 1) * E] = y.reshape(HD, E)
-
-    # ---- phase 3 (MXU): proj + residual, LN2 + MLP + residual ------------
-    x1 = x_ref[0] + _matmul(wproj[:], qkv_ref[0:HD], bproj[:], dtype)
-    h2 = _layernorm(x1, ln2s[:], ln2b[:], dtype)
-    h2 = _matmul(wfc[:], h2, bfc[:], dtype)
-    h2 = jax.nn.gelu(h2, approximate=approximate_gelu)
-    o_ref[0] = x1 + _matmul(wfc2[:], h2, bfc2[:], dtype)
-
-
-def fused_layer_with_prefix_tl(x_tl: jnp.ndarray, pk_tl: jnp.ndarray,
-                               pv_tl: jnp.ndarray, p: FusedLayerParams, *,
-                               n_heads: int, head_dim: int, suffix_len: int,
-                               approximate_gelu: bool = True,
-                               interpret: bool = False) -> jnp.ndarray:
-    """Token-merged-lanes fused block.
-
-    x_tl: [nB, D, T*E] with lane l = t*E + e (token-major within a block);
-    pk_tl/pv_tl: [nB, HD, P*E]. Returns the same layout. Conversions to and
-    from [B, T, D] live in models/fused.py and happen ONCE per call, not
-    per layer."""
-    nB, D, TE = x_tl.shape
-    HD = p.wqkv_t.shape[0] // 3
-    PE = pk_tl.shape[2]
-
-    kern = functools.partial(_layer_kernel_prefix_tl, n_heads, head_dim,
-                             approximate_gelu, suffix_len)
-    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    def bmap(i):
-        return (i, 0, 0)
-
-    return pl.pallas_call(
-        kern,
-        grid=(nB,),
-        in_specs=[w_spec] * 12 + [
-            pl.BlockSpec((1, HD, PE), bmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HD, PE), bmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, TE), bmap, memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, D, TE), bmap, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nB, D, TE), x_tl.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((3 * HD, TE), x_tl.dtype),
-        ],
-        interpret=interpret,
-    )(p.ln1_scale, p.ln1_bias, p.wqkv_t, p.bqkv, p.wproj_t, p.bproj,
-      p.ln2_scale, p.ln2_bias, p.wfc_t, p.bfc, p.wfc2_t, p.bfc2,
-      pk_tl, pv_tl, x_tl)

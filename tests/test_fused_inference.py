@@ -190,6 +190,43 @@ class TestFusedCached:
                                    np.asarray(dn_ps(s, a, g, sig_b)),
                                    atol=1e-5, rtol=1e-4)
 
+    def test_qbatch_attention_matches(self):
+        """Key-batched and unrolled attention phases of the tl v2 kernel
+        agree (both against the flax forward)."""
+        from beso_tpu.models.fused import make_fused_cached_denoise_fn
+
+        model = DiffusionGPT(**KITCHEN)
+        den = GCDenoiser(model, sigma_data=0.5)
+        s, a, g, sig, k = _inputs(KITCHEN, B=8, key=17)
+        params = den.init(k, s, a, g, sig)
+        sigmas = jnp.asarray([1.0, 0.18, 0.032])
+        sig_b = jnp.full((8,), 0.18)
+        ref = den.apply(params, s, a, g, sig_b)
+        for qb in (False, True):
+            dn = make_fused_cached_denoise_fn(den, params, g, sigmas,
+                                              env_block=8, interpret=True,
+                                              attn_qbatch=qb)
+            np.testing.assert_allclose(np.asarray(dn(s, a, g, sig_b)),
+                                       np.asarray(ref),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_mlp_head_token_lanes(self):
+        """linear_output=False skips the in-kernel epilogue and still
+        matches the flax forward through the tl kernel."""
+        from beso_tpu.models.fused import make_fused_cached_denoise_fn
+
+        model = DiffusionGPT(linear_output=False, **KITCHEN)
+        den = GCDenoiser(model, sigma_data=0.5)
+        s, a, g, sig, k = _inputs(KITCHEN, B=8, key=19)
+        params = den.init(k, s, a, g, sig)
+        sigmas = jnp.asarray([1.0, 0.18, 0.032])
+        sig_b = jnp.full((8,), 1.0)
+        ref = den.apply(params, s, a, g, sig_b)
+        dn = make_fused_cached_denoise_fn(den, params, g, sigmas,
+                                          env_block=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(dn(s, a, g, sig_b)),
+                                   np.asarray(ref), atol=1e-5, rtol=1e-4)
+
     def test_rollout_metrics_match_cached(self):
         """fused_cached and cached engines agree end-to-end in a rollout."""
         from beso_tpu.agents.policy import PolicyConfig
