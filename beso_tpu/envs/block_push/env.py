@@ -208,16 +208,26 @@ def _push_block(block_pos, block_yaw, point, radius, k2=None, de=None,
     pusher's own tangential substep motion u_t (contact migration drive):
 
     * STICK: f = A^-1 (pen n + u_t t) lies inside the friction cone
-      (|f.t| <= mu f.n) -> the pusher holds the contact; the applied
-      impulse stays along the normal with the penetration-relaxation
-      magnitude pen (identical to the engaged-phase law the golden
-      step-level tests pin at ~1 mm / 0.1 deg).
+      (|f.t| <= mu f.n) -> the FULL solved force is applied (norm-capped
+      at 4x pen), so the contact point tracks the pusher tangentially as
+      well as normally. Dropping the tangential component (as the first
+      round-3 model did) artificially stabilized face-aligned plowing:
+      the tangential drag is the term that torques a slightly misaligned
+      block AWAY from alignment, as in the measured MuJoCo rollouts
+      (scripted yaw RMSE 17.0 -> 8.7 deg from this change alone).
     * SLIP: the sticking force leaves the cone -> the impulse tilts to
-      the cone edge (n + mu sign(ft) t)/sqrt(1+mu^2), same magnitude;
+      the cone edge (n + mu sign(ft) t)/sqrt(1+mu^2) with magnitude pen;
       the friction component OPPOSES the contact's sliding (typically
       the block's rotation sweeping its corner past the pusher), damping
       the corner-escape spin the round-2 always-normal model over-ran
       (ensemble |dyaw| 36 deg vs MuJoCo's 12 deg).
+
+    Contact normal: face normal of the deepest-crossed face slab, ALSO in
+    the corner region (MuJoCo's box-cylinder collider reports face-aligned
+    normals there; traced on the golden ensemble — a corner-touched block
+    slides out along its oblique FACE normal, not the rounded-corner
+    radial). The radial direction is kept only for the degenerate
+    inside-the-box case.
 
     Calibrated against host-MuJoCo golden rollouts
     (scripts/calibrate_block_push.py; an earlier ad-hoc lever model
@@ -238,10 +248,16 @@ def _push_block(block_pos, block_yaw, point, radius, k2=None, de=None,
     # (rotation feeding back into penetration is resolved by slip, but the
     # cap also bounds the one-substep impulse for deep spawn overlaps)
     pen = jnp.clip(pen, 0.0, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
-    # inward contact normal; center direction for the degenerate inside case
+    # inward contact normal: deepest-crossed face slab (corner region
+    # included — matches MuJoCo's face-aligned box-cylinder normals);
+    # center direction for the degenerate inside case
+    p_ax = jnp.abs(local) - BLOCK_HALF
+    corner = jnp.all(p_ax > 0)
+    ax = jnp.argmin(p_ax)
+    n_face = -jnp.sign(local[ax]) * jnp.eye(2)[ax]
     n_out = delta / jnp.maximum(dist, 1e-9)            # surface -> effector
     to_center = -local / jnp.maximum(jnp.linalg.norm(local), 1e-9)
-    n_in = jnp.where(inside, to_center, -n_out)
+    n_in = jnp.where(inside, to_center, jnp.where(corner, n_face, -n_out))
     t_dir = jnp.asarray([-n_in[1], n_in[0]])           # contact tangent
     c = clamped
     p = jnp.asarray([-c[1], c[0]])
@@ -258,7 +274,13 @@ def _push_block(block_pos, block_yaw, point, radius, k2=None, de=None,
     ft = jnp.dot(f_stick, t_dir)
     stick = jnp.abs(ft) <= mu * jnp.maximum(fn, 0.0)
     edge = (n_in + mu * jnp.sign(ft) * t_dir) * jax.lax.rsqrt(1.0 + mu * mu)
-    f = pen * jnp.where(stick, n_in, edge)
+    # sticking applies the FULL solved force (norm-capped at 4x pen so
+    # near-singular corner solves cannot blow up a substep); slipping
+    # applies the cone-edge force at the penetration-relaxation magnitude
+    fmax = 4.0 * jnp.maximum(pen, 1e-9)
+    f_st = f_stick * jnp.minimum(
+        1.0, fmax / jnp.maximum(jnp.linalg.norm(f_stick), 1e-9))
+    f = jnp.where(stick, f_st, pen * edge)
 
     # quasi-static twist for applied impulse f (identical to the round-2
     # calibrated law when sticking: v = pen(k^2 n + (c.n)c)/D)

@@ -94,13 +94,19 @@ class TestEnsembleBands:
     (golden: parallel 26.6 mm, |perp| 25.6 mm, |dyaw| 12.2 deg for 12-step
     northward pushes).
 
-    Round-3 model (motion-cone slip + knock-away coast): ensemble |dyaw|
-    10.1 deg — INSIDE the MuJoCo band (the round-2 model measured 36 deg,
-    VERDICT r2 #3 asked for <= 2x). The documented residual is the
-    push-parallel carry: 96 mm mean / 75 mm median vs MuJoCo's 26.6/17.9 —
-    quasi-statics lacks the dynamic chatter that lets a real block slide
-    laterally out of the pusher's path, so near-square pushes ferry the
-    block farther before escape (RESULTS.md fidelity table)."""
+    Round-3 model (motion-cone slip with the FULL stick force + MuJoCo
+    face-normal corner classification + knock-away coast): ensemble
+    |dyaw| 22.0 deg — inside 2x of the MuJoCo band (the round-2 model
+    measured 36 deg, VERDICT r2 #3 asked for <= 2x) — and parallel carry
+    62 mm mean / 55 mm median on this n=16 set (the tangential stick drag
+    destabilizes face-aligned plowing, which the earlier normal-only
+    stick force artificially stabilized at 96/75). Documented residual vs
+    MuJoCo's 26.6/17.9: the final ~2x is the impulsive escape regime —
+    the mocap pusher knocks the real block to ~0.7 m/s along an oblique
+    face normal and it coasts clear in 1-2 control steps, a genuinely
+    dynamic (inertia-dominated) event; measured attempts to close it
+    (inertial mobility, kick-alpha sweep, chatter dither — see ROADMAP)
+    each regressed rotation or scripted fidelity."""
 
     def test_ensemble_statistics(self):
         rng = np.random.default_rng(0)
@@ -117,7 +123,7 @@ class TestEnsembleBands:
             d_yaw.append(abs((t[-1, 2] - yaw + np.pi) % (2 * np.pi) - np.pi))
         # parallel carry: above the MuJoCo mean (documented residual),
         # below runaway (a glued block would carry the full 420 mm stroke)
-        assert 0.015 < np.mean(d_par) < 0.15, np.mean(d_par)
+        assert 0.015 < np.mean(d_par) < 0.10, np.mean(d_par)
         assert 0.010 < np.mean(d_perp) < 0.065, np.mean(d_perp)
         # rotation: inside ~2x of the MuJoCo golden band (12.2 +- 11.5 deg)
         assert np.degrees(np.mean(d_yaw)) > 3.0, "rotation response missing"
