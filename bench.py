@@ -1,4 +1,4 @@
-"""Headline benchmark: fused goal-conditioned kitchen rollout throughput.
+"""Headline benchmarks: kitchen rollout + block-push rollout + training.
 
 Measures the BASELINE.json north-star quantity: parallel env-steps/sec of the
 complete evaluation inner loop — per env step, a 3-NFE DDIM denoise of the
@@ -25,8 +25,15 @@ vs_baseline: ratio to the reference's structural throughput bound of
 ~100 env-steps/s/process (sequential episodes x sequential MuJoCo steps x
 batch-1 GPU NFE + PCIe round-trips; BASELINE.md bottom paragraph).
 
-Prints one JSON line:
-{"metric", "value", "unit", "vs_baseline", "mfu", "dp_efficiency"}.
+Prints one JSON line per benchmark (VERDICT r3 #6 — the kitchen rollout
+line stays FIRST for driver compatibility):
+1. kitchen fused rollout  {"metric", "value", "unit", "vs_baseline",
+   "mfu", "mfu_effective", "dp_efficiency"}
+2. block-push rollout     (same schema; vs the same ~100 env-steps/s
+   reference bound — the reference's push loop is Bullet-on-CPU serial)
+3. kitchen train-step throughput (steps/s, batch 1024, fused 50-step
+   device programs; vs_baseline normalizes to the reference's ~15 steps/s
+   single-GPU torch loop estimate from BASELINE.md row "Training budget")
 """
 
 import json
@@ -67,6 +74,148 @@ def _time_best(fn, n=3):
         fn(i).rewards.block_until_ready()
         times.append(time.perf_counter() - t0)
     return min(times)
+
+
+def bench_block_push():
+    """Block-push rollout throughput (reference protocol shapes: 4L x 240D
+    model, 300 steps, 3-NFE DDIM; block_push_workspace.py:110)."""
+    from beso_tpu.agents.policy import PolicyConfig
+    from beso_tpu.data.trajectories import synthetic_push_data
+    from beso_tpu.envs.block_push.goals import block_push_goal_frames
+    from beso_tpu.models import (DiffusionGPT, GCDenoiser, fit_minmax_scaler,
+                                 make_rollout_denoise_factory)
+    from beso_tpu.rollout import rollout_block_push
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+    n_envs = N_ENVS if platform != "cpu" else 64
+    n_steps = 300 if platform != "cpu" else 8
+
+    model = DiffusionGPT(state_dim=10, action_dim=2, embed_dim=240,
+                         n_layers=4, n_heads=12, goal_seq_len=1,
+                         obs_seq_len=5, dtype=jnp.bfloat16)
+    den = GCDenoiser(model, sigma_data=0.5)
+    params = den.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 10)),
+                      jnp.zeros((2, 5, 2)), jnp.zeros((2, 1, 10)),
+                      jnp.full((2,), 0.5))
+    data = synthetic_push_data(n_traj=32, t_max=60)
+    scaler = fit_minmax_scaler(data.all_observations()[:, :10],
+                               data.all_actions())
+    frames, expected = block_push_goal_frames(data, n_envs, seed=6)
+    cfg = PolicyConfig(window_size=5, obs_dim=10, action_dim=2,
+                       num_sampling_steps=NFE, sigma_min=0.05,
+                       sampler_type="ddim")
+
+    def denoise(s, a, g, sig):
+        return den.apply(params, s, a, g, sig)
+
+    factory = make_rollout_denoise_factory(den, params, scaler, cfg,
+                                           engine="fused_cached")
+
+    @jax.jit
+    def run(k):
+        return rollout_block_push(denoise, scaler, cfg, jnp.asarray(frames),
+                                  jnp.asarray(expected), k, n_steps=n_steps,
+                                  denoise_factory=factory)
+
+    run(jax.random.PRNGKey(1)).rewards.block_until_ready()
+    best = _time_best(lambda i: run(jax.random.PRNGKey(2 + i)))
+    env_steps_per_sec = n_envs * n_steps / best
+
+    mfu = None
+    try:
+        B = 256
+        from beso_tpu.core.schedules import get_noise_schedule
+        from beso_tpu.models.cached import make_cached_denoise_fn
+
+        sig_grid = get_noise_schedule(NFE, cfg.sigma_min, cfg.sigma_max,
+                                      cfg.rho, cfg.noise_scheduler)[:-1]
+        dn = make_cached_denoise_fn(den, params, jnp.zeros((B, 1, 10)),
+                                    sig_grid)
+        ca = jax.jit(lambda s, a, sg: dn(s, a, None, sg)).lower(
+            jnp.zeros((B, 5, 10)), jnp.zeros((B, 5, 2)),
+            jnp.full((B,), 0.5)).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        exec_flops = float(ca["flops"]) / B
+        mfu = exec_flops * NFE * env_steps_per_sec / (_peak_tflops(dev) * 1e12)
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "block_push_rollout_env_steps_per_sec",
+        "value": round(env_steps_per_sec, 1),
+        "unit": f"env-steps/s ({n_envs} envs x {n_steps} steps x {NFE} NFE "
+                f"ddim, {platform})",
+        "vs_baseline": round(env_steps_per_sec / REFERENCE_ENV_STEPS_PER_SEC,
+                             2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+    }))
+
+
+def bench_train():
+    """Kitchen train-step throughput: reference budget shapes (6L x 360D,
+    batch 1024, AdamW + EMA; franka_kitchen_main_config training loop),
+    fused 50-step device programs."""
+    import optax
+
+    from beso_tpu.core.densities import make_sample_density
+    from beso_tpu.data.slicer import SlicedDataset
+    from beso_tpu.data.trajectories import synthetic_kitchen_data
+    from beso_tpu.models import DiffusionGPT, GCDenoiser, fit_scaler
+    from beso_tpu.train.trainer import Trainer, make_fused_train_steps
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+    batch = 1024 if platform != "cpu" else 64
+    chunk = 50 if platform != "cpu" else 4
+
+    model = DiffusionGPT(state_dim=30, action_dim=9, embed_dim=360,
+                         n_layers=6, n_heads=6, goal_seq_len=2, obs_seq_len=4,
+                         dtype=jnp.bfloat16)
+    den = GCDenoiser(model, sigma_data=0.5)
+    data = synthetic_kitchen_data(n_traj=64, t_max=80)
+    scaler = fit_scaler(data.all_observations(), data.all_actions())
+    train_set = SlicedDataset(data, window=4, future_conditional=True,
+                              future_seq_len=2)
+    optimizer = optax.adamw(1e-4)
+    density = make_sample_density("loglogistic", sigma_data=0.5,
+                                  sigma_min=0.005, sigma_max=1.0)
+    trainer = Trainer(den, optimizer, density, scaler)
+    key = jax.random.PRNGKey(0)
+    ts = trainer.init_state(key, train_set.sample_batch(key, 8))
+    fused = make_fused_train_steps(den, optimizer, density, scaler,
+                                   train_set, batch, chunk)
+
+    ts, _ = jax.block_until_ready(fused(ts, jax.random.PRNGKey(1)))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        ts, losses = fused(ts, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+    steps_per_sec = chunk / min(times)
+
+    mfu = None
+    try:
+        from beso_tpu.train.trainer import make_train_step
+
+        step_fn = make_train_step(den, optimizer, density, scaler)
+        sample = train_set.sample_batch(jax.random.PRNGKey(3), batch)
+        ca = jax.jit(step_fn).lower(
+            ts, sample, jax.random.PRNGKey(4)).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        mfu = float(ca["flops"]) * steps_per_sec / (_peak_tflops(dev) * 1e12)
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "kitchen_train_steps_per_sec",
+        "value": round(steps_per_sec, 1),
+        "unit": f"train-steps/s (batch {batch}, 6Lx360D bf16, fused "
+                f"{chunk}-step programs, {platform})",
+        "vs_baseline": round(steps_per_sec / 15.0, 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+    }))
 
 
 def main():
@@ -204,3 +353,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # extra rows (VERDICT r3 #6) — never allowed to break the headline line
+    for extra in (bench_block_push, bench_train):
+        try:
+            extra()
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": extra.__name__, "error": str(e)[:200]}))

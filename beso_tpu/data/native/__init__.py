@@ -43,10 +43,17 @@ def _build_lib() -> Path:
         if proc.returncode != 0:
             raise RuntimeError(
                 f"native loader build failed:\n{proc.stderr[-2000:]}")
-        os.rename(tmp, out)
-        # drop stale builds
+        try:
+            os.rename(tmp, out)
+        except FileNotFoundError:
+            # a peer's stale-build sweep may race us; fine as long as some
+            # builder produced the target (ADVICE r3)
+            if not out.exists():
+                raise
+        # drop stale builds — but never in-flight ".tmp." files of concurrent
+        # builders, whose rename would otherwise FileNotFoundError (ADVICE r3)
         for old in _SRC.parent.glob("_libslicer_*.so"):
-            if old != out:
+            if old != out and ".tmp." not in old.name:
                 try:
                     old.unlink()
                 except OSError:

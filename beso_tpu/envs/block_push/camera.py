@@ -7,14 +7,15 @@ DEFAULT_CAMERA_POSE (1.0, 0, 0.75), DEFAULT_CAMERA_ORIENTATION
 320x240 — and the OpenGL view construction at `block_pushing.py:627-658`:
 lookdir = R @ [0,0,1], updir = R @ [0,-1,0]).
 
-TPU-first design: the camera is FIXED, so the expensive part of
-ray-casting — pixel ray x table-plane intersection — is precomputed ONCE
-as an [H, W, 2] world-coordinate grid; per-frame rendering is then a
-handful of vectorized point-in-shape tests + soft edge blends over that
-grid (pure VPU work, vmap/jit/scan-friendly, runs inside the fused
-rollout). The scene is flattened onto the tabletop plane (the reference
-renders true 3-D geometry through Bullet's GL; the camera MODEL here is
-exact, the block height parallax is the documented approximation).
+TPU-first design: the camera is FIXED, so the pixel ray directions are
+precomputed ONCE as an [H, W, 3] grid; per-frame rendering is vectorized
+ray-casting over that grid (pure VPU work, vmap/jit/scan-friendly, runs
+inside the fused rollout). Round 4 (VERDICT r3 #8): blocks and the
+effector are rendered as TRUE 3-D solids — analytic ray/oriented-box and
+ray/cylinder intersection per pixel, nearest-hit composition for
+occlusion, top/side face shading — so block height parallax matches the
+reference's GL render (block_pushing.py:604-679); target zones remain
+tabletop decals (they are flat in the reference scene too).
 
 `render_obs_rgb` renders from the 16-dim observation vector (the layout
 block_push_obs produces), so training can rasterize images on the fly
@@ -63,6 +64,25 @@ def _euler_xyz_to_matrix(e):
 
 
 @functools.lru_cache(maxsize=8)
+def ray_grid(h: int = IMG_H, w: int = IMG_W, zoom: float = 1.0) -> np.ndarray:
+    """Precomputed [h, w, 3] world-frame pixel ray directions (camera at
+    CAMERA_POSE; see table_grid for the zoom semantics)."""
+    R = _euler_xyz_to_matrix(CAMERA_ORIENTATION)
+    fx = fy = FOCAL_SCALE * w * zoom
+    cx, cy = w / 2.0, h / 2.0
+    if zoom != 1.0:
+        c_world = np.asarray([0.425, 0.0, 0.0])
+        d = R.T @ (c_world - CAMERA_POSE)
+        cx = w / 2.0 - fx * d[0] / d[2]
+        cy = h / 2.0 - fy * d[1] / d[2]
+    u = np.arange(w) + 0.5
+    v = np.arange(h) + 0.5
+    uu, vv = np.meshgrid(u, v)
+    d_cam = np.stack([(uu - cx) / fx, (vv - cy) / fy, np.ones_like(uu)], -1)
+    return (d_cam @ R.T).astype(np.float32)     # [h, w, 3]
+
+
+@functools.lru_cache(maxsize=8)
 def table_grid(h: int = IMG_H, w: int = IMG_W,
                zoom: float = 1.0) -> np.ndarray:
     """Precomputed [h, w, 2] world xy where each pixel ray meets the
@@ -97,6 +117,73 @@ def _soft_in_circle(grid, center, radius):
     return jnp.clip((radius - d) / _EDGE + 0.5, 0.0, 1.0)
 
 
+_FAR = 1e9
+
+
+def _ray_box(rays, center_xy, yaw, half, height):
+    """Analytic ray / yaw-oriented box intersection over the pixel grid.
+
+    rays: [h, w, 3] directions from CAMERA_POSE. Box: xy half-extent
+    `half`, z in [0, height], centered at `center_xy`, rotated by `yaw`.
+    Returns (t_enter [h, w] with _FAR where missed, soft mask [h, w],
+    top [h, w] bool — True where the entry face is the top)."""
+    o = jnp.asarray(CAMERA_POSE, jnp.float32)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    # block-local frame: rotate xy by -yaw, shift z so the box is centered
+    ox = c * (o[0] - center_xy[0]) + s * (o[1] - center_xy[1])
+    oy = -s * (o[0] - center_xy[0]) + c * (o[1] - center_xy[1])
+    oz = o[2] - height / 2.0
+    dx = c * rays[..., 0] + s * rays[..., 1]
+    dy = -s * rays[..., 0] + c * rays[..., 1]
+    dz = rays[..., 2]
+    o_l = jnp.stack([jnp.broadcast_to(ox, dx.shape),
+                     jnp.broadcast_to(oy, dx.shape),
+                     jnp.broadcast_to(oz, dx.shape)], -1)
+    d_l = jnp.stack([dx, dy, dz], -1)
+    halfs = jnp.asarray([half, half, height / 2.0], jnp.float32)
+    inv = 1.0 / jnp.where(jnp.abs(d_l) < 1e-9, 1e-9, d_l)
+    t1 = (-halfs - o_l) * inv
+    t2 = (halfs - o_l) * inv
+    t_lo = jnp.minimum(t1, t2)
+    t_hi = jnp.maximum(t1, t2)
+    t_enter = jnp.max(t_lo, axis=-1)
+    t_exit = jnp.min(t_hi, axis=-1)
+    # soft silhouette: chord length of the intersection fades grazing rays
+    chord = t_exit - t_enter
+    mask = jnp.clip(chord / (_EDGE * 4.0), 0.0, 1.0) * (t_enter > 0)
+    top = jnp.argmax(t_lo, axis=-1) == 2
+    t = jnp.where((chord > 0) & (t_enter > 0), t_enter, _FAR)
+    return t, mask, top
+
+
+def _ray_cylinder(rays, center_xy, radius, height):
+    """Ray / vertical cylinder (z in [0, height]) intersection.
+    Returns (t_enter with _FAR where missed, soft mask, top bool)."""
+    o = jnp.asarray(CAMERA_POSE, jnp.float32)
+    ox, oy = o[0] - center_xy[0], o[1] - center_xy[1]
+    dx, dy, dz = rays[..., 0], rays[..., 1], rays[..., 2]
+    a = dx * dx + dy * dy
+    b = 2.0 * (ox * dx + oy * dy)
+    cc = ox * ox + oy * oy - radius * radius
+    disc = b * b - 4 * a * cc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_in = (-b - sq) / (2 * a)
+    t_out = (-b + sq) / (2 * a)
+    # clip to the z-slab [0, height]
+    inv_z = 1.0 / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    tz1 = (0.0 - o[2]) * inv_z
+    tz2 = (height - o[2]) * inv_z
+    tz_lo = jnp.minimum(tz1, tz2)
+    tz_hi = jnp.maximum(tz1, tz2)
+    t_enter = jnp.maximum(t_in, tz_lo)
+    t_exit = jnp.minimum(t_out, tz_hi)
+    chord = jnp.where(disc > 0, t_exit - t_enter, -1.0)
+    mask = jnp.clip(chord / (_EDGE * 4.0), 0.0, 1.0) * (t_enter > 0)
+    top = tz_lo > t_in                      # entered through the top cap
+    t = jnp.where((chord > 0) & (t_enter > 0), t_enter, _FAR)
+    return t, mask, top
+
+
 def _soft_in_square(grid, center, yaw, half):
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     rel = grid - center[None, None, :]
@@ -108,30 +195,55 @@ def _soft_in_square(grid, center, yaw, half):
     return jnp.clip(d / _EDGE + 0.5, 0.0, 1.0)
 
 
+_EFFECTOR_HEIGHT = 0.135     # cylinder_real.urdf total length
+
+
+def _solid_hits(obs16, rays):
+    """(t, mask, shade-scale, color) per 3-D solid: 2 blocks + effector.
+    Side faces are darkened 0.72x, top faces lit 1.0x — the fixed-light GL
+    look of the reference render."""
+    hits = []
+    for b, (psl, ysl) in enumerate((((0, 2), 2), ((3, 5), 5))):
+        t, m, top = _ray_box(rays, obs16[psl[0]:psl[1]], obs16[ysl],
+                             BLOCK_HALF, 2 * BLOCK_HALF)
+        shade = jnp.where(top, 1.0, 0.72)
+        hits.append((t, m, shade, jnp.asarray(_BLOCK_COLORS[b], jnp.float32)))
+    t, m, top = _ray_cylinder(rays, obs16[6:8], EFFECTOR_RADIUS,
+                              _EFFECTOR_HEIGHT)
+    shade = jnp.where(top, 1.0, 0.80)
+    hits.append((t, m, shade, jnp.asarray(_EFFECTOR_COLOR, jnp.float32)))
+    return hits
+
+
 def render_obs_rgb(obs16: jnp.ndarray, h: int = IMG_H, w: int = IMG_W,
                    zoom: float = 2.0) -> jnp.ndarray:
     """RGB [h, w, 3] float32 in [0,1] from one 16-dim observation
     ([b0 xy yaw, b1 xy yaw, effector xy, eff target xy, t0 xy yaw,
     t1 xy yaw] — block_push_obs layout). vmap over batches/windows.
-    Default zoom=2 is the policy crop (covers the full block-spawn + target region) (see table_grid)."""
+    Default zoom=2 is the policy crop (covers the full block-spawn +
+    target region, see table_grid). Blocks and the effector are ray-cast
+    3-D solids with nearest-hit occlusion (VERDICT r3 #8); targets are
+    tabletop decals."""
     grid = jnp.asarray(table_grid(h, w, zoom))
+    rays = jnp.asarray(ray_grid(h, w, zoom))
     img = jnp.broadcast_to(jnp.asarray(_BG, jnp.float32), (h, w, 3))
 
     def blend(img, mask, color):
         return img * (1 - mask[..., None]) + mask[..., None] * color
 
-    # target zones first (underneath)
+    # target zones (tabletop decals, underneath everything)
     for t, sl in enumerate((slice(10, 12), slice(13, 15))):
         mask = _soft_in_circle(grid, obs16[sl], GOAL_DIST_TOLERANCE)
         img = blend(img, mask, jnp.asarray(_TARGET_COLORS[t], jnp.float32))
-    # blocks
-    for b, (psl, ysl) in enumerate((((0, 2), 2), ((3, 5), 5))):
-        mask = _soft_in_square(grid, obs16[psl[0]:psl[1]], obs16[ysl],
-                               BLOCK_HALF)
-        img = blend(img, mask, jnp.asarray(_BLOCK_COLORS[b], jnp.float32))
-    # effector
-    mask = _soft_in_circle(grid, obs16[6:8], EFFECTOR_RADIUS)
-    img = blend(img, mask, jnp.asarray(_EFFECTOR_COLOR, jnp.float32))
+
+    # 3-D solids: nearest hit wins per pixel (order-independent — each
+    # solid only draws where it is nearer than everything drawn so far)
+    hits = _solid_hits(obs16, rays)
+    t_near = jnp.full(img.shape[:2], _FAR)
+    for t_hit, mask, shade, color in hits:
+        vis = mask * (t_hit < t_near)
+        img = blend(img, vis, color[None, None, :] * shade[..., None])
+        t_near = jnp.minimum(t_near, jnp.where(mask > 0.5, t_hit, _FAR))
     return img
 
 
@@ -144,13 +256,19 @@ def render_obs_masks(obs16: jnp.ndarray, h: int = IMG_H, w: int = IMG_W,
     ER_SEGMENTATION_MASK_OBJECT_AND_LINKINDEX (block_pushing.py:670) — the
     semantic channels exist in its camera output; this variant exposes
     them directly instead of collapsing to RGB, which matters at policy
-    resolutions where a block spans a handful of pixels."""
+    resolutions where a block spans a handful of pixels. Solid channels
+    are the ray-cast 3-D silhouettes (same geometry as render_obs_rgb)."""
     grid = jnp.asarray(table_grid(h, w, zoom))
+    rays = jnp.asarray(ray_grid(h, w, zoom))
+    (tb0, mb0, _), (tb1, mb1, _) = (
+        _ray_box(rays, obs16[0:2], obs16[2], BLOCK_HALF, 2 * BLOCK_HALF),
+        _ray_box(rays, obs16[3:5], obs16[5], BLOCK_HALF, 2 * BLOCK_HALF))
+    te, me, _ = _ray_cylinder(rays, obs16[6:8], EFFECTOR_RADIUS,
+                              _EFFECTOR_HEIGHT)
     chans = [
-        _soft_in_square(grid, obs16[0:2], obs16[2], BLOCK_HALF),
-        _soft_in_square(grid, obs16[3:5], obs16[5], BLOCK_HALF),
+        mb0, mb1,
         _soft_in_circle(grid, obs16[10:12], GOAL_DIST_TOLERANCE),
         _soft_in_circle(grid, obs16[13:15], GOAL_DIST_TOLERANCE),
-        _soft_in_circle(grid, obs16[6:8], EFFECTOR_RADIUS),
+        me,
     ]
     return jnp.stack(chans, axis=-1)

@@ -386,7 +386,11 @@ def kitchen_step(state: KitchenState, action: jnp.ndarray,
     dlin = jnp.einsum("td,d->t", params.axes, ee_disp)
     drive_try = jnp.where(params.rotary > 0.5, dphi, dlin) \
         * params.drive_eff * hooked
-    q_try = state.qpos[PRIMARY] + drive_try
+    # clip to the element joint ranges BEFORE the keep check: near a joint
+    # limit the applied drive is clamped (line ~433), so keep/drop must be
+    # decided from a handle position the clipped joint can reach (ADVICE r3)
+    q_try = jnp.clip(state.qpos[PRIMARY] + drive_try,
+                     OBJ_LO[PRIMARY - 9], OBJ_HI[PRIMARY - 9])
     qpos_try = state.qpos
     for t in range(6):
         qpos_try = qpos_try.at[int(_PRIMARY[t])].set(q_try[t])

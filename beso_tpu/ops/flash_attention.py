@@ -185,7 +185,10 @@ def _flash_attention_bwd(causal, block_q, block_k, interpret, res, g):
     sm_scale = 1.0 / math.sqrt(hd)
     block_q = min(block_q, _round_up(T, 8))
     block_k = min(block_k, _round_up(T, 8))
-    pad = (-T) % max(block_q, block_k)
+    # pad to a multiple of BOTH block sizes, same as _flash_forward: for
+    # non-power-of-two combos lcm != max and Tp must divide the dq grid
+    # cleanly while keeping the causal k-loop inside the refs (ADVICE r3)
+    pad = (-T) % (block_q * block_k // math.gcd(block_q, block_k))
     if pad:
         zero = jnp.zeros((B, H, pad, hd), q.dtype)
         q = jnp.concatenate([q, zero], axis=2)

@@ -539,11 +539,11 @@ def sample_loop(
     if sampler_type == "ddim":
         return sample_ddim(denoise_fn, x, sigmas, key, clip_fn=clip_fn)
     if sampler_type == "dpm_adaptive":
-        return sample_dpm_adaptive(denoise_fn, x, float(sigmas[-2]),
-                                   float(sigmas[0]), key)
+        # traced endpoints: jittable like every other sampler (VERDICT r3 #10)
+        return sample_dpm_adaptive(denoise_fn, x, sigmas[-2], sigmas[0], key)
     if sampler_type == "dpm_fast":
-        return sample_dpm_fast(denoise_fn, x, float(sigmas[-2]),
-                               float(sigmas[0]), len(sigmas), key)
+        return sample_dpm_fast(denoise_fn, x, sigmas[-2], sigmas[0],
+                               len(sigmas), key)
     if sampler_type == "dpmpp_2s_ancestral":
         return sample_dpmpp_2s_ancestral(denoise_fn, x, sigmas, key, eta=eta,
                                          clip_fn=clip_fn)

@@ -40,6 +40,7 @@ SLOW_TEST_MODULES = {
     "test_sweep",
     "test_train",
     "test_video_metrics",
+    "test_vision_policy",
     "test_workspaces",
 }
 

