@@ -25,11 +25,16 @@ Bullet rigid-body physics on CPU):
 TPU-first design: the env is a pure function of (state, action, key) on
 stacked arrays — `reset(key)`/`step(state, action)` vmap over thousands of
 envs and fuse into the policy's denoise scan (see beso_tpu.rollout). The
-XArm IK + Bullet contact solve is replaced by a quasi-static planar push
-model: the effector is a velocity-limited point-tracker (the 24-substep
-position-controlled arm behaves as a critically damped tracker,
-SURVEY.md 7.3#2) and block/effector and block/block contacts resolve by
-minimal-penetration projection with a lever-arm yaw response. Rejection
+XArm IK + Bullet contact solve is replaced by a PLANAR RIGID-BODY
+integrator at the same 240 Hz substep rate (round 4): blocks carry
+(velocity, yaw-rate) state; the effector is a velocity-limited kinematic
+point-tracker (the 24-substep position-controlled arm behaves as a
+critically damped tracker, SURVEY.md 7.3#2) exerting a soft spring-damper
+contact force with a tipping-plateau law; ground friction acts at the 4
+face corners (a discrete limit surface coupling translation/rotation).
+Every constant is URDF-derived or calibrated against instrumented
+host-MuJoCo golden rollouts of the identical scene — see
+_solve_contact_velocities and scripts/calibrate_block_push.py. Rejection
 sampling at reset becomes a masked first-valid pick over a fixed candidate
 batch (no data-dependent control flow).
 """
@@ -71,19 +76,66 @@ FRICTION_K2 = (2.0 / 3.0) * BLOCK_HALF * BLOCK_HALF
 # (both URDFs specify lateral friction 1.0; the calibration sweep against
 # the MuJoCo ensemble selects the shipped value — calibrate_block_push.py)
 PUSHER_MU = 0.5
-# ground Coulomb deceleration mu*g for the post-contact coast: the 10-gram
-# block is KNOCKED AWAY by the 1 m/s pusher and coasts v^2/(2*mu*g) before
-# stopping — the escape dynamics that bound how long a push can torque the
-# block (the pure quasi-static model kept blocks glued to the pusher for
-# the whole stroke, integrating ~3x MuJoCo's ensemble rotation)
-GROUND_DECEL = 9.81            # m/s^2 (URDF lateral friction 1.0)
-# rotational Coulomb decel ~ mu*g*r_mean/k^2 (r_mean ~ half width)
-YAW_DECEL = GROUND_DECEL * BLOCK_HALF / FRICTION_K2   # rad/s^2
 SUB_DT = CONTROL_DT / N_SUBSTEPS
-# per-substep low-pass factor for the contact-implied coast velocity
-# (chattering-contact duty cycle; calibrated vs the MuJoCo golden
-# step-level and ensemble statistics)
-KICK_ALPHA = 0.15
+
+# ---- rigid-body dynamics constants (round 4: velocity-level contact) ----
+# The multimodal env integrates full planar rigid-body dynamics per 240 Hz
+# substep (explicit contact forces + 4-point ground friction), matching
+# the KIND of simulation the reference evaluates in (Bullet stepping at
+# 240 Hz, block_pushing.py:269-281,564-567) instead of a quasi-static
+# surrogate. Every constant below is either a URDF value or calibrated
+# against instrumented host-MuJoCo golden rollouts of the same scene
+# (scripts/calibrate_block_push.py).
+BLOCK_MASS = 0.01              # kg (block2.urdf)
+GRAVITY = 9.81
+GROUND_MU = 1.0                # floor lateral friction (URDF / golden scene)
+# Effective pusher-block Coulomb friction. The URDFs specify 1.0, but the
+# golden scene's contact is chattering and pitch-rocking (intermittent,
+# partial-footprint), so the EFFECTIVE tangential drag over a control
+# step is far below the nominal cone: the ensemble calibration selects
+# 0.1 (at 1.0 the block is dragged along with the pusher and the measured
+# lateral escape — vx to -0.34 m/s in the instrumented off-center burst —
+# never happens).
+CONTACT_MU = 0.1
+# Tipping-plateau force law: pushing a cube at ~center height tips it
+# once F > m g a / h_c ~ 2x the block weight — beyond that the block
+# pitches onto its leading edge and the pusher overruns while the block
+# sheds the push (the per-substep instrumented golden scene shows Fn
+# plateauing at 0.1-0.3 N with deep apparent xy-overlap and z-lift /
+# pitch rocking). A tipped block still transmits a FRACTION of the excess
+# (TIP_LEAK), which is what lets sustained two-block trains plow and
+# prevents pass-through at deep penetration.
+FN_CAP = 0.16                  # N: the tipping plateau (~1.6x block weight)
+TIP_LEAK = 0.1                 # fraction of force above the plateau kept
+DAMP_RATIO = 1.0               # damper bound as a multiple of the spring
+CORNER_RADIAL = False          # corner-region normal: face slab vs radial
+# SOFT spring-damper contact, the MuJoCo default solref = (0.02 s, zeta 1)
+# the golden scenes run: k = m / tau^2, b = 2 m / tau. Instrumenting the
+# golden scene per-substep (scripts/calibrate_block_push.py --burst) shows
+# this softness DOMINATES the macroscopic behavior: the 10-gram block lags
+# the 1 m/s pusher (peaks ~0.67 m/s face-on), the pusher deeply overruns,
+# and the block sheds the push by sliding off obliquely within 1-2 control
+# steps — even a face-on 420 mm stroke carries the block only ~44 mm. A
+# hard non-penetration constraint (and the round-3 positional projection)
+# glues the block to the pusher instead, which was the root cause of the
+# 2.3x push-parallel carry residual (VERDICT r3 #1).
+CONTACT_K = BLOCK_MASS / (0.02 * 0.02)      # 25 N/m   (m / tau^2)
+CONTACT_B = 2.0 * BLOCK_MASS / 0.02         # 1 N s/m  (2 m / tau)
+# Coulomb smoothing velocity for tanh(v / V_EPS) friction regularization
+# (small enough that resting-contact creep stalls; the per-point impulse
+# cap prevents stop-reverse oscillation at this sharpness)
+V_EPS = 0.002
+# Ground friction: the box-on-plane contact discretized at the 4 FACE
+# CORNERS (+-half, +-half), each carrying m g / 4 — exactly where MuJoCo
+# places the box-plane contact points in the golden scene. The corner
+# placement (arm 28 mm vs the gyration-matched 16 mm) gives the stronger
+# rotational leg of the friction limit surface the measured rollouts
+# show: it is what keeps ensemble |dyaw| near MuJoCo's 12 deg instead of
+# letting knocked blocks spin out (calibration sweep; gyration-matched
+# points measured ensemble yaw 6 deg higher).
+_GROUND_PTS = jnp.asarray([[1.0, 1.0], [1.0, -1.0], [-1.0, 1.0],
+                           [-1.0, -1.0]]) * BLOCK_HALF
+F_G_MAX = GROUND_MU * BLOCK_MASS * GRAVITY / 4.0   # per-point Coulomb limit
 
 _RESET_CANDIDATES = 64
 
@@ -191,6 +243,45 @@ def _rot(yaw):
     return jnp.asarray([[c, -s], [s, c]])
 
 
+def _perp(v):
+    return jnp.stack([-v[..., 1], v[..., 0]], axis=-1)
+
+
+def _cross2(a, b):
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def _box_point_geom(block_pos, block_yaw, point, radius,
+                    radial_corner: bool = False):
+    """Disk-vs-oriented-box closest-point geometry (shared by the
+    quasi-static law and the dynamic solver).
+
+    Returns (pen, n_in, c_local, R): penetration depth, inward contact
+    normal in the LOCAL frame (the direction the block moves to separate),
+    the closest point on the box in the local frame, and the rotation.
+    The normal is the face normal of the deepest-crossed slab ALSO in the
+    corner region — MuJoCo's box-cylinder collider reports face-aligned
+    normals there (traced on the golden ensemble); the center direction is
+    kept only for the degenerate inside-the-box case."""
+    R = _rot(block_yaw)
+    local = R.T @ (point - block_pos)
+    clamped = jnp.clip(local, -BLOCK_HALF, BLOCK_HALF)
+    delta = local - clamped
+    dist = jnp.linalg.norm(delta)
+    inside = dist < 1e-9
+    face = jnp.where(local >= 0, BLOCK_HALF - local, -BLOCK_HALF - local)
+    pen = jnp.where(inside, radius + jnp.min(jnp.abs(face)), radius - dist)
+    p_ax = jnp.abs(local) - BLOCK_HALF
+    corner = jnp.all(p_ax > 0)
+    ax = jnp.argmin(p_ax)
+    n_face = -jnp.sign(local[ax]) * jnp.eye(2)[ax]
+    n_out = delta / jnp.maximum(dist, 1e-9)            # surface -> effector
+    to_center = -local / jnp.maximum(jnp.linalg.norm(local), 1e-9)
+    corner_n = -n_out if radial_corner else n_face
+    n_in = jnp.where(inside, to_center, jnp.where(corner, corner_n, -n_out))
+    return pen, n_in, clamped, R
+
+
 def _push_block(block_pos, block_yaw, point, radius, k2=None, de=None,
                 mu=None):
     """Quasi-static point-push of an oriented box — Mason/Lynch pushing
@@ -235,29 +326,12 @@ def _push_block(block_pos, block_yaw, point, radius, k2=None, de=None,
     over-rotated 3x in corner escape). Returns (new_pos, new_yaw)."""
     k2 = FRICTION_K2 if k2 is None else k2
     mu = PUSHER_MU if mu is None else mu
-    R = _rot(block_yaw)
-    local = R.T @ (point - block_pos)
-    # closest point on the box to the effector center
-    clamped = jnp.clip(local, -BLOCK_HALF, BLOCK_HALF)
-    delta = local - clamped
-    dist = jnp.linalg.norm(delta)
-    inside = dist < 1e-9
-    face = jnp.where(local >= 0, BLOCK_HALF - local, -BLOCK_HALF - local)
-    pen = jnp.where(inside, radius + jnp.min(jnp.abs(face)), radius - dist)
+    pen, n_in, clamped, R = _box_point_geom(block_pos, block_yaw, point,
+                                            radius)
     # cap the per-substep penetration at the effector's substep advance
     # (rotation feeding back into penetration is resolved by slip, but the
     # cap also bounds the one-substep impulse for deep spawn overlaps)
     pen = jnp.clip(pen, 0.0, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
-    # inward contact normal: deepest-crossed face slab (corner region
-    # included — matches MuJoCo's face-aligned box-cylinder normals);
-    # center direction for the degenerate inside case
-    p_ax = jnp.abs(local) - BLOCK_HALF
-    corner = jnp.all(p_ax > 0)
-    ax = jnp.argmin(p_ax)
-    n_face = -jnp.sign(local[ax]) * jnp.eye(2)[ax]
-    n_out = delta / jnp.maximum(dist, 1e-9)            # surface -> effector
-    to_center = -local / jnp.maximum(jnp.linalg.norm(local), 1e-9)
-    n_in = jnp.where(inside, to_center, jnp.where(corner, n_face, -n_out))
     t_dir = jnp.asarray([-n_in[1], n_in[0]])           # contact tangent
     c = clamped
     p = jnp.asarray([-c[1], c[0]])
@@ -300,6 +374,107 @@ def _separate_blocks(pos_a, pos_b):
     return pos_a - n * pen / 2, pos_b + n * pen / 2
 
 
+def _solve_contact_velocities(bpos, byaw, bvel, byr, eff, v_push, inv_i):
+    """One substep's contact-force integration (round 4, VERDICT r3 #1).
+
+    Explicit planar rigid-body forces at 240 Hz, the same regime the
+    reference evaluates in (`block_pushing.py:269-281,564-567`; golden
+    data from the identical MuJoCo scene):
+
+    * pusher-block: SOFT spring-damper normal force Fn = max(0, k pen +
+      b closing_speed) with the golden scene's solref (0.02 s, zeta 1)
+      constants — the compliance is load-bearing: the block LAGS the
+      1 m/s pusher, the pusher overruns, and the block sheds the stroke
+      by sliding off obliquely (a hard constraint glues it and carries
+      2.3x too far). Tangential Coulomb force mu Fn tanh(v_t / V_EPS).
+    * block-block: same spring-damper law between the two disks.
+    * ground friction: 4 points per block at the face corners (the golden
+      scene's box-plane contact placement), each Coulomb-clamped toward
+      zero point velocity — a discrete limit surface coupling
+      translational and rotational friction. Per-point impulses are
+      capped so friction can stop but never reverse a point's motion
+      within a substep.
+
+    Returns (bvel, byr) after force integration; caller advances poses."""
+    inv_m = 1.0 / BLOCK_MASS
+    forces = jnp.zeros((2, 2))
+    torques = jnp.zeros((2,))
+
+    # pusher-block spring-damper + Coulomb tangent
+    for b in range(2):
+        pen, n_l, c_l, R_b = _box_point_geom(bpos[b], byaw[b], eff,
+                                             EFFECTOR_RADIUS,
+                                             radial_corner=CORNER_RADIAL)
+        n = R_b @ n_l                        # direction block separates
+        r = R_b @ c_l                        # contact arm (world)
+        u = bvel[b] + byr[b] * _perp(r) - v_push
+        closing = -jnp.dot(n, u)             # >0 when approaching
+        spring = CONTACT_K * pen
+        # damper bounded by the elastic term (first-touch forces ramp from
+        # zero; a raw b*closing term at 1 m/s would inject ~1 N bursts)
+        damper = jnp.minimum(CONTACT_B * closing, DAMP_RATIO * spring)
+        # tipping plateau with leak-through (see the constants above)
+        raw = jnp.maximum(spring + damper, 0.0)
+        fn = jnp.where(pen > 0,
+                       jnp.minimum(raw, FN_CAP)
+                       + TIP_LEAK * jnp.maximum(raw - FN_CAP, 0.0), 0.0)
+        t = _perp(n)
+        vt = jnp.dot(t, u)
+        ft = -CONTACT_MU * fn * jnp.tanh(vt / V_EPS)
+        f = fn * n + ft * t
+        forces = forces.at[b].add(f)
+        torques = torques.at[b].add(_cross2(r, f))
+
+    # block-block spring-damper (disk-disk, arms through centers)
+    d_bb = bpos[1] - bpos[0]
+    dist_bb = jnp.linalg.norm(d_bb)
+    n_bb = d_bb / jnp.maximum(dist_bb, 1e-9)
+    pen_bb = 2 * BLOCK_BLOCK_RADIUS - dist_bb
+    closing_bb = -jnp.dot(n_bb, bvel[1] - bvel[0])
+    fn_bb = jnp.where(pen_bb > 0,
+                      jnp.maximum(CONTACT_K * pen_bb
+                                  + CONTACT_B * closing_bb, 0.0), 0.0)
+    forces = forces.at[0].add(-fn_bb * n_bb).at[1].add(fn_bb * n_bb)
+
+    bvel = bvel + forces * (SUB_DT * inv_m)
+    byr = byr + torques * (SUB_DT * inv_i)
+
+    # ground friction: 4-point limit surface solved by sequential impulses
+    # with accumulated-impulse Coulomb clamping (3 iterations) — proper
+    # STATIC friction: each point's impulse drives its material-point
+    # velocity to zero (2x2 effective-mass solve) and the accumulator is
+    # clamped to mu (m g / 4) h. One un-iterated pass leaves ~20% of an
+    # injected spin per substep, which integrates into a slow parasitic
+    # pivot of blocks resting against the pusher.
+    lam_max = F_G_MAX * SUB_DT
+    for b in range(2):
+        r_g = _GROUND_PTS @ _rot(byaw[b]).T          # [4, 2] world arms
+        vb, wb = bvel[b], byr[b]
+        lam = jnp.zeros((4, 2))
+        for _ in range(3):
+            for i in range(4):
+                rp = r_g[i]
+                p = _perp(rp)
+                u = vb + wb * p
+                k00 = inv_m + inv_i * p[0] * p[0]
+                k11 = inv_m + inv_i * p[1] * p[1]
+                k01 = inv_i * p[0] * p[1]
+                det = k00 * k11 - k01 * k01
+                dj = -jnp.stack([k11 * u[0] - k01 * u[1],
+                                 k00 * u[1] - k01 * u[0]]) / det
+                newj = lam[i] + dj
+                nrm = jnp.linalg.norm(newj)
+                newj = newj * jnp.minimum(1.0, lam_max /
+                                          jnp.maximum(nrm, 1e-12))
+                d = newj - lam[i]
+                vb = vb + d * inv_m
+                wb = wb + _cross2(rp, d) * inv_i
+                lam = lam.at[i].set(newj)
+        bvel = bvel.at[b].set(vb)
+        byr = byr.at[b].set(wb)
+    return bvel, byr
+
+
 def block_push_step(state: BlockPushState, action: jnp.ndarray,
                     friction_k2: float = None,
                     ) -> Tuple[BlockPushState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -314,61 +489,25 @@ def block_push_step(state: BlockPushState, action: jnp.ndarray,
     tgt = jnp.clip(state.effector_target + action,
                    WORKSPACE_BOUNDS[0], WORKSPACE_BOUNDS[1])
 
+    k2 = FRICTION_K2 if friction_k2 is None else friction_k2
+    inv_i = 1.0 / (BLOCK_MASS * k2)
+
     def substep(carry, _):
         eff, bpos, byaw, bvel, byr = carry
-        # velocity-limited tracking of the target
+        # velocity-limited tracking of the target (kinematic pusher)
         to_tgt = tgt - eff
         d = jnp.linalg.norm(to_tgt)
-        step_len = jnp.minimum(d, EFFECTOR_SPEED * CONTROL_DT / N_SUBSTEPS)
+        step_len = jnp.minimum(d, EFFECTOR_SPEED * SUB_DT)
         de = to_tgt / jnp.maximum(d, 1e-9) * step_len
         eff = eff + de
 
-        # 1) knock-away coast: blocks keep their contact-implied velocity
-        # after separation, decaying under Coulomb ground friction — the
-        # 10-gram block escapes the pusher's path instead of staying glued
-        speed = jnp.linalg.norm(bvel, axis=-1, keepdims=True)
-        bvel = bvel * jnp.maximum(
-            0.0, 1.0 - GROUND_DECEL * SUB_DT / jnp.maximum(speed, 1e-9))
-        byr = byr * jnp.maximum(
-            0.0, 1.0 - YAW_DECEL * SUB_DT / jnp.maximum(jnp.abs(byr), 1e-9))
-        pos_start = bpos + bvel * SUB_DT
-        yaw_start = byaw + byr * SUB_DT
-
-        # 2) quasi-static contact resolution (motion-cone push model)
-        p0, y0, c0 = _push_block(pos_start[0], yaw_start[0], eff,
-                                 EFFECTOR_RADIUS, friction_k2, de)
-        p1, y1, c1 = _push_block(pos_start[1], yaw_start[1], eff,
-                                 EFFECTOR_RADIUS, friction_k2, de)
-        # block-block separation
-        bb_pen = 2 * BLOCK_BLOCK_RADIUS - jnp.linalg.norm(p1 - p0)
-        p0, p1 = _separate_blocks(p0, p1)
-        pos_new = jnp.stack([p0, p1])
-        yaw_new = jnp.stack([y0, y1])
-
-        # 3) contact implies velocity: a touched block moves WITH the
-        # resolution this substep and keeps that velocity when contact
-        # ends — capped at the pusher's own speed (restitution-0 contact
-        # cannot fling the block faster than the thing pushing it; the
-        # penetration-resolution spikes of corner contacts would otherwise
-        # kick at the full substep cap)
-        touched = jnp.stack([c0, c1]) | (bb_pen > 0)
-        v_imp = (pos_new - bpos) / SUB_DT
-        eff_speed = step_len / SUB_DT
-        v_mag = jnp.linalg.norm(v_imp, axis=-1, keepdims=True)
-        v_imp = v_imp * jnp.minimum(1.0, eff_speed / jnp.maximum(v_mag, 1e-9))
-        w_imp = (yaw_new - byaw) / SUB_DT
-        w_imp = jnp.clip(w_imp, -eff_speed / BLOCK_HALF,
-                         eff_speed / BLOCK_HALF)
-        # low-pass toward the implied velocity: real pushing is chattering
-        # contact whose duty cycle holds the block near the pusher's
-        # AVERAGE speed; refreshing to the instantaneous substep speed
-        # would launch the block at the effector's burst speed (1 m/s)
-        # when the stroke ends, coasting ~5 cm past the MuJoCo block
-        bvel = jnp.where(touched[:, None],
-                         KICK_ALPHA * v_imp + (1 - KICK_ALPHA) * bvel, bvel)
-        byr = jnp.where(jnp.stack([c0, c1]),
-                        KICK_ALPHA * w_imp + (1 - KICK_ALPHA) * byr, byr)
-        return (eff, pos_new, yaw_new, bvel, byr), None
+        # velocity-level contact solve (pusher, block-block, ground
+        # friction limit surface), then semi-implicit pose integration
+        bvel, byr = _solve_contact_velocities(bpos, byaw, bvel, byr,
+                                              eff, de / SUB_DT, inv_i)
+        bpos = bpos + bvel * SUB_DT
+        byaw = byaw + byr * SUB_DT
+        return (eff, bpos, byaw, bvel, byr), None
 
     (eff, bpos, byaw, bvel, byr), _ = jax.lax.scan(
         substep, (state.effector, state.block_pos, state.block_yaw,

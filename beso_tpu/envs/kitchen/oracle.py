@@ -40,6 +40,41 @@ TASK_BUDGET = 70  # steps before the oracle gives up on a stuck task
 class KitchenOracleCarry(NamedTuple):
     task_ptr: jnp.ndarray    # [] int32 index into the task sequence
     task_steps: jnp.ndarray  # [] int32 steps spent on the current task
+    # latch: the play-style detour (visit another element first) is done
+    detour_done: jnp.ndarray = jnp.zeros((), bool)
+
+
+class KitchenOracleStyle(NamedTuple):
+    """Per-episode execution style (round 4, VERDICT r3 #2): human play
+    data wanders between elements, varies speed and pauses; zeros/ones =
+    the clean scripted demonstrator. `detour_task` routes the first reach
+    via ANOTHER element's handle — goal-ambiguous motion mass that dilutes
+    the conditional score, the precondition for CFG lambda > 1 gains."""
+
+    speed_mult: jnp.ndarray = jnp.ones(())
+    detour_task: jnp.ndarray = jnp.zeros((), jnp.int32)
+    detour_gate: jnp.ndarray = jnp.zeros(())
+    wander_steps: jnp.ndarray = jnp.zeros((), jnp.int32)
+    wander_dir: jnp.ndarray = jnp.zeros((3,))
+    pause_prob: jnp.ndarray = jnp.zeros(())
+
+
+CLEAN_STYLE = KitchenOracleStyle()
+
+
+def sample_kitchen_style(key, play_style: bool = False) -> KitchenOracleStyle:
+    if not play_style:
+        return CLEAN_STYLE
+    ks, kd, kg, kw, kv, kp = jax.random.split(key, 6)
+    wd = jax.random.normal(kv, (3,))
+    return KitchenOracleStyle(
+        speed_mult=jax.random.uniform(ks, minval=0.6, maxval=1.3),
+        detour_task=jax.random.randint(kd, (), 0, 7),
+        detour_gate=jax.random.bernoulli(kg, 0.5).astype(jnp.float32),
+        wander_steps=jax.random.randint(kw, (), 0, 25),
+        wander_dir=wd / jnp.maximum(jnp.linalg.norm(wd), 1e-9),
+        pause_prob=jax.random.uniform(kp, minval=0.0, maxval=0.12),
+    )
 
 
 def sample_task_sequence(key, n_tasks: int = 4) -> jnp.ndarray:
@@ -57,6 +92,7 @@ def oracle_reset() -> KitchenOracleCarry:
 def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
                           task_seq: jnp.ndarray,
                           params: KitchenParams = DEFAULT_KITCHEN_PARAMS,
+                          style: KitchenOracleStyle = CLEAN_STYLE,
                           ) -> Tuple[jnp.ndarray, KitchenOracleCarry]:
     """One scripted step for a SINGLE env (vmap for batches)."""
     ptr = jnp.minimum(carry.task_ptr, 3)
@@ -67,19 +103,27 @@ def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
     ee = state.ee_pos
     handles = kitchen_handles(state.qpos, params)  # handles ride their doors
     handle = handles[task]
+    # play-style detour: before the first task, swing by another element's
+    # handle (latched once visited) — goal-agnostic play-like motion
+    detour_pt = handles[style.detour_task] + jnp.asarray([0.0, -0.06, 0.04])
+    at_detour = jnp.linalg.norm(detour_pt - ee) < 0.06
+    detour_done = (carry.detour_done | at_detour | (style.detour_gate < 0.5)
+                   | (carry.task_ptr > 0))
+    via_detour = ~detour_done
+    handle = jnp.where(via_detour, detour_pt, handle)
     dist = jnp.linalg.norm(ee - handle)
     # manipulate as soon as the fingertip is hooked (inside the engagement
     # radius) — a tighter switch threshold would flip back to 'reach' when
     # the handle trails by the contact lag, and a hooked fingertip moving
     # BACK toward the handle drags the door shut (angular-advance law)
-    near = dist < jnp.where(is_kettle, params.grasp_radius * 0.7,
-                            params.interact_radius)
+    near = (dist < jnp.where(is_kettle, params.grasp_radius * 0.7,
+                             params.interact_radius)) & detour_done
 
     # desired fingertip displacement while approaching
     reach_vec = handle - ee
     reach_d = jnp.linalg.norm(reach_vec)
     reach_dx = reach_vec / jnp.maximum(reach_d, 1e-9) * jnp.minimum(
-        reach_d, REACH_SPEED)
+        reach_d, REACH_SPEED * style.speed_mult)
 
     # manipulation (v2 arc law): advance along the handle's CURRENT arc
     # tangent toward the goal joint value, fully correcting any off-arc
@@ -116,6 +160,9 @@ def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
     manip_dx = jnp.where(is_kettle, kettle_dx, manip_dx)
 
     dx = jnp.where(near | (is_kettle & state.kettle_grasped), manip_dx, reach_dx)
+    # play-style wandering prefix: undirected fingertip drift before work
+    wandering = (carry.task_ptr == 0) & (carry.task_steps < style.wander_steps)
+    dx = jnp.where(wandering, 0.04 * style.wander_dir, dx)
     dx = jnp.where(active, dx, jnp.zeros(3))
 
     # differential IK: joint velocities from the fingertip jacobian
@@ -137,24 +184,34 @@ def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
     advance = task_done | (timed_out & active)
     ptr_next = jnp.where(advance, carry.task_ptr + 1, carry.task_ptr)
     steps_next = jnp.where(advance, 0, carry.task_steps + 1)
-    return action, KitchenOracleCarry(task_ptr=ptr_next, task_steps=steps_next)
+    return action, KitchenOracleCarry(task_ptr=ptr_next,
+                                      task_steps=steps_next,
+                                      detour_done=detour_done)
 
 
 def rollout_kitchen_oracle(key, n_steps: int = 280, n_tasks: int = 4,
                            action_noise: float = 0.0,
-                           params: KitchenParams = DEFAULT_KITCHEN_PARAMS):
+                           params: KitchenParams = DEFAULT_KITCHEN_PARAMS,
+                           play_style: bool = False):
     """Single oracle episode: (obs [T,30], act [T,9], completed [7],
     completion_order [7], task_seq [4]). `action_noise` jitters the
-    executed+recorded actions so demos cover recovery states."""
-    k_seq, k_noise = jax.random.split(key)
+    executed+recorded actions so demos cover recovery states; `play_style`
+    draws per-episode execution styles (detour via another element,
+    speed, wandering prefix, pauses) — see KitchenOracleStyle."""
+    k_seq, k_noise, k_style = jax.random.split(key, 3)
     task_seq = sample_task_sequence(k_seq, n_tasks)
+    style = sample_kitchen_style(k_style, play_style=play_style)
     env = kitchen_reset(key)
     carry = oracle_reset()
 
     def body(c, k):
         env, oc = c
         obs = kitchen_obs(env)
-        action, oc = kitchen_oracle_policy(env, oc, task_seq, params)
+        action, oc = kitchen_oracle_policy(env, oc, task_seq, params, style)
+        if play_style:
+            paused = jax.random.bernoulli(jax.random.fold_in(k, 1),
+                                          style.pause_prob)
+            action = jnp.where(paused, jnp.zeros(9), action)
         if action_noise > 0:
             action = jnp.clip(action + jax.random.normal(k, (9,)) * action_noise,
                               -1.0, 1.0)
@@ -170,12 +227,14 @@ def generate_kitchen_demonstrations(key, n_episodes: int = 64,
                                     n_steps: int = 280, n_tasks: int = 4,
                                     action_noise: float = 0.02,
                                     params: KitchenParams = DEFAULT_KITCHEN_PARAMS,
+                                    play_style: bool = False,
                                     ) -> TrajectoryData:
-    """Relay-kitchen-format demos: onehot label row at each completion frame."""
+    """Relay-kitchen-format demos: onehot label row at each completion frame.
+    `play_style=True` adds human-play-like execution diversity."""
     keys = jax.random.split(key, n_episodes)
     obs, act, completed, order, _ = jax.vmap(
         lambda k: rollout_kitchen_oracle(k, n_steps, n_tasks, action_noise,
-                                         params))(keys)
+                                         params, play_style))(keys)
     obs, act = np.asarray(obs), np.asarray(act)
     completed, order = np.asarray(completed), np.asarray(order)
     onehot = np.zeros((n_episodes, n_steps, 7), np.float32)

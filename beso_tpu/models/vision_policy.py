@@ -58,6 +58,67 @@ class ConvImageEncoder(nn.Module):
         return nn.Dense(self.embed_size, dtype=self.dtype)(flat)
 
 
+class KitchenVisionPolicyGPT(nn.Module):
+    """Kitchen from-pixels policy (round 4, VERDICT r3 #3): raw 30-dim
+    kitchen observations in, `render_kitchen_obs_rgb` rasterization +
+    conv encoding inside the jitted step, VisionDiffusionGPT on top.
+
+    Goals in the kitchen path are FUTURE observations (goal_conditional =
+    'future', kitchen_workspace_manager.py semantics) — they are rendered
+    through the SAME camera, so the goal tokens show the scene state to
+    reach (which doors open, where the kettle stands). Proprioception
+    (qpos[:9], normalized) is appended to each state token: the arm
+    configuration is policy-internal state the reference's image policies
+    also feed alongside camera frames."""
+
+    action_dim: int = 9
+    embed_dim: int = 360
+    n_layers: int = 6
+    n_heads: int = 6
+    goal_seq_len: int = 2
+    obs_seq_len: int = 4
+    embed_size: int = 48
+    img_hw: Tuple[int, int] = (128, 128)
+    enc_features: Tuple[int, ...] = (24, 48, 64)
+    attn_pdrop: float = 0.3
+    resid_pdrop: float = 0.0
+    cond_mask_prob: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, states, actions, goals, sigma, *, uncond=False,
+                 train=False):
+        from beso_tpu.envs.kitchen.camera import render_kitchen_obs_rgb
+
+        B, T, _ = states.shape
+        G = goals.shape[1]
+        h, w = self.img_hw
+        enc = ConvImageEncoder(self.embed_size, features=self.enc_features,
+                               dtype=self.dtype)
+
+        def render(o):
+            return render_kitchen_obs_rgb(o, h, w) - jnp.asarray(
+                [0.93, 0.93, 0.91])
+
+        s_img = jax.vmap(render)(states.reshape(B * T, 30))
+        s_feat = enc(s_img).reshape(B, T, self.embed_size)
+        proprio = states[..., :9] / 3.0
+        s_tok = jnp.concatenate([s_feat, proprio.astype(s_feat.dtype)], -1)
+
+        g_img = jax.vmap(render)(goals.reshape(B * G, 30))
+        g_feat = enc(g_img).reshape(B, G, self.embed_size)
+
+        inner = VisionDiffusionGPT(
+            state_dim=self.embed_size + 9, action_dim=self.action_dim,
+            embed_dim=self.embed_dim, n_layers=self.n_layers,
+            n_heads=self.n_heads, goal_seq_len=self.goal_seq_len,
+            obs_seq_len=self.obs_seq_len, goal_dim=self.embed_size,
+            attn_pdrop=self.attn_pdrop, resid_pdrop=self.resid_pdrop,
+            cond_mask_prob=self.cond_mask_prob, dtype=self.dtype)
+        return inner(s_tok, actions, g_feat, sigma, uncond=uncond,
+                     train=train)
+
+
 class VisionPolicyGPT(nn.Module):
     """Inner model over RAW 16-dim block-push observations; renders +
     encodes images internally, then runs VisionDiffusionGPT over
@@ -80,6 +141,12 @@ class VisionPolicyGPT(nn.Module):
     # RGB (the reference GL render itself requests the segmentation mask,
     # block_pushing.py:670)
     semantic: bool = False
+    # goal_stack=True (round 4, VERDICT r3 #4): concatenate the GOAL image
+    # onto every state image (6 stacked channels into ONE encoder) —
+    # spatially ALIGNED relational conditioning, so convs see "this block
+    # is here now and there in the goal" locally, instead of the GPT
+    # having to relate two separately-encoded 48-dim embeddings.
+    goal_stack: bool = False
     attn_pdrop: float = 0.05
     resid_pdrop: float = 0.05
     cond_mask_prob: float = 0.0
@@ -102,6 +169,12 @@ class VisionPolicyGPT(nn.Module):
             return render_obs_rgb(o, h, w) - jnp.asarray([0.92, 0.92, 0.90])
 
         s_img = jax.vmap(render)(states.reshape(B * T, 16))
+        if self.goal_stack:
+            far0 = jnp.full_like(goals[..., 6:], 10.0)
+            g0 = jnp.concatenate([goals[..., :6], far0], axis=-1)
+            g_img0 = jax.vmap(render)(g0[:, 0].reshape(B, 16))  # [B, h, w, C]
+            g_rep = jnp.repeat(g_img0, T, axis=0)               # [B*T, ...]
+            s_img = jnp.concatenate([s_img, g_rep], axis=-1)
         s_feat = enc(s_img).reshape(B, T, self.embed_size)
         # proprioception: the policy must know its hand even if the
         # effector is occluded/ambiguous in the image
@@ -115,6 +188,10 @@ class VisionPolicyGPT(nn.Module):
         far = jnp.full_like(goals[..., 6:], 10.0)
         goals_r = jnp.concatenate([goals[..., :6], far], axis=-1)
         g_img = jax.vmap(render)(goals_r.reshape(B * G, 16))
+        if self.goal_stack:
+            # the shared encoder takes 6 stacked channels when goal_stack
+            # is on — goal tokens see (goal, goal)
+            g_img = jnp.concatenate([g_img, g_img], axis=-1)
         g_feat = enc(g_img).reshape(B, G, self.embed_size)
 
         inner = VisionDiffusionGPT(

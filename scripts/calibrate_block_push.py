@@ -11,10 +11,21 @@ records 10 Hz block (x, y, yaw) trajectories.
 
 Outputs tests/golden/block_push_mujoco.npz consumed by
 tests/test_block_push_fidelity.py, and prints the JAX model's trajectory
-error per scenario for a sweep of YAW_GAIN values (used to pick the shipped
-constant).
+error per scenario.
+
+Round-4 methodology (VERDICT r3 #1): the scenario set splits into STABLE
+scenarios (off-center, rotated, diagonal — MuJoCo final-state dispersion
+under +-0.5 mm initial perturbation is a few mm / a few deg) and CHAOTIC
+ones (central, block_into_block — dispersion 30-50 mm: long aligned plows
+break by numerical symmetry-breaking at an unpredictable point). Pointwise
+RMSE is only meaningful on the stable set; the chaotic ones are judged
+against the MuJoCo perturbation BAND (--dispersion prints it). --burst
+prints a per-substep instrumented trace of a contact burst (block
+velocity, spin, floor-normal z, contact count/force) — the measurement
+behind the tipping-plateau force law in env.py.
 
 Run: python scripts/calibrate_block_push.py [--out tests/golden/...]
+     [--ensemble N] [--sweep] [--burst] [--dispersion]
 """
 
 from __future__ import annotations
@@ -204,6 +215,69 @@ def report_ensemble(name, d_par, d_perp, d_yaw):
           f"{np.degrees(d_yaw.std()):4.1f} deg")
 
 
+STABLE_SCENARIOS = ("offcenter_0.25", "offcenter_0.5", "offcenter_0.75",
+                    "rotated", "diagonal")
+
+
+def run_burst(dx=0.01):
+    """Per-substep instrumentation of one contact burst (the measurement
+    behind env.py's tipping-plateau law): block velocity/spin/floor z and
+    pusher contact count + total normal force."""
+    import mujoco
+
+    model = mujoco.MjModel.from_xml_string(_SCENE)
+    data = mujoco.MjData(model)
+    data.qpos[0:3] = [0.4, -0.2, BLOCK_HALF]
+    data.qpos[3:7] = [1, 0, 0, 0]
+    data.qpos[7:10] = [0.8, 0.6, BLOCK_HALF]
+    data.qpos[10:14] = [1, 0, 0, 0]
+    data.mocap_pos[0] = [0.4 + dx, -0.24, 0.0675]
+    mujoco.mj_forward(model, data)
+    eff = np.array([0.4 + dx, -0.24])
+    tgt = eff + np.array([0.0, 0.07])
+    max_step = EFFECTOR_SPEED / SUBSTEP_HZ
+    print("sub | blk_y    blk_x   | vy     vx     wz    | z      | nc  Fn")
+    for s in range(48):
+        to = tgt - eff
+        d = np.linalg.norm(to)
+        if d > 1e-9:
+            eff = eff + to / d * min(d, max_step)
+        data.mocap_pos[0] = [eff[0], eff[1], 0.0675]
+        mujoco.mj_step(model, data)
+        fn, nc = 0.0, 0
+        for ci in range(data.ncon):
+            names = {mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_GEOM, g)
+                     for g in (data.contact[ci].geom1, data.contact[ci].geom2)}
+            if "floor" not in names:
+                f6 = np.zeros(6)
+                mujoco.mj_contactForce(model, data, ci, f6)
+                nc += 1
+                fn += f6[0]
+        if s % 2 == 0:
+            print(f"{s:3d} | {data.qpos[1]:7.4f} {data.qpos[0]:7.4f} | "
+                  f"{data.qvel[1]:6.3f} {data.qvel[0]:6.3f} "
+                  f"{data.qvel[5]:6.2f} | {data.qpos[2]:.4f} | {nc}  {fn:.2f}")
+
+
+def run_dispersion(n=8, seed=1):
+    """MuJoCo final-state dispersion of each scripted scenario under
+    +-0.5 mm initial block perturbation — separates the STABLE scenarios
+    (pointwise-matchable) from the CHAOTIC ones (band-matchable only)."""
+    rng = np.random.default_rng(seed)
+    perts = rng.uniform(-5e-4, 5e-4, (n, 2))
+    for scn in _scenarios():
+        name, b0, yaw0, b1, eff0, offsets = scn
+        finals = []
+        for p in perts:
+            s2 = (name, (b0[0] + p[0], b0[1] + p[1]), yaw0, b1, eff0, offsets)
+            finals.append(run_mujoco(s2)[-1, :3])
+        f = np.asarray(finals)
+        tag = "stable " if name in STABLE_SCENARIOS else "CHAOTIC"
+        print(f"{tag} {name:18s} x {f[:, 0].mean():.3f}+-{f[:, 0].std()*1000:5.1f}mm "
+              f"y {f[:, 1].mean():.3f}+-{f[:, 1].std()*1000:5.1f}mm "
+              f"yaw {np.degrees(f[:, 2].mean()):6.1f}+-{np.degrees(f[:, 2].std()):5.1f}deg")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default=str(
@@ -214,7 +288,18 @@ def main(argv=None):
     parser.add_argument("--ensemble", type=int, default=0,
                         help="also run an N-scenario randomized ensemble and "
                              "report distribution statistics")
+    parser.add_argument("--burst", action="store_true",
+                        help="per-substep instrumented burst trace")
+    parser.add_argument("--dispersion", action="store_true",
+                        help="MuJoCo self-dispersion of each scenario")
     args = parser.parse_args(argv)
+
+    if args.burst:
+        run_burst()
+        return
+    if args.dispersion:
+        run_dispersion()
+        return
 
     if args.ensemble:
         scns = ensemble_scenarios(args.ensemble)

@@ -1,4 +1,5 @@
 """Synthesize scripted-oracle demonstrations into the reference dataset format.
+Supports --play-style for human-play-grade execution diversity.
 
 The public BESO datasets (osf.io/q3dx2) are not vendored; this CLI produces
 drop-in replacements using the JAX oracles, written in the exact file layout
@@ -29,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--episodes", type=int, default=512)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--play-style", action="store_true",
+                        help="per-episode execution styles (approach angle,"
+                             " speed, detours, wandering, pauses)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -38,14 +42,16 @@ def main(argv=None):
         from beso_tpu.envs.block_push.oracle import generate_demonstrations
 
         data = generate_demonstrations(key, n_episodes=args.episodes,
-                                       n_steps=args.steps or 160)
+                                       n_steps=args.steps or 160,
+                                       play_style=args.play_style)
         out = export_multimodal_push(data, args.out)
     else:
         from beso_tpu.data.export import export_relay_kitchen
         from beso_tpu.envs.kitchen.oracle import generate_kitchen_demonstrations
 
         data = generate_kitchen_demonstrations(key, n_episodes=args.episodes,
-                                               n_steps=args.steps or 280)
+                                               n_steps=args.steps or 280,
+                                               play_style=args.play_style)
         out = export_relay_kitchen(data, args.out)
     logging.info("wrote %d episodes to %s (labels/ep %.2f)", args.episodes,
                  out, float(data.onehot_goals.sum()) / args.episodes)

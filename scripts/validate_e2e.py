@@ -44,6 +44,13 @@ def main(argv=None):
     parser.add_argument("--robustness", action="store_true",
                         help="kitchen only: after training, re-evaluate under"
                              " +-20%% perturbed physics and report retention")
+    parser.add_argument("--play-style", action="store_true",
+                        help="draw per-episode execution styles for the demos"
+                             " (approach angle, speed, detours, wandering,"
+                             " pauses) — human-play-grade multimodality")
+    parser.add_argument("--lambda-sweep", action="store_true",
+                        help="after training, evaluate the CFG guidance"
+                             " sweep lambda in {0, 1, 1.5, 2, 2.5}")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -61,12 +68,14 @@ def main(argv=None):
         from beso_tpu.envs.block_push.oracle import generate_demonstrations
 
         data = generate_demonstrations(k_demo, n_episodes=args.episodes,
-                                       n_steps=args.demo_steps)
+                                       n_steps=args.demo_steps,
+                                       play_style=args.play_style)
     else:
         from beso_tpu.envs.kitchen.oracle import generate_kitchen_demonstrations
 
         data = generate_kitchen_demonstrations(
-            k_demo, n_episodes=args.episodes, n_steps=max(args.demo_steps, 280))
+            k_demo, n_episodes=args.episodes, n_steps=max(args.demo_steps, 280),
+            play_style=args.play_style)
     log.info("demos done in %.1fs (success label count %.2f/ep)",
              time.time() - t0, float(data.onehot_goals.sum()) / args.episodes)
 
@@ -119,6 +128,18 @@ def main(argv=None):
         "success_rates": {k: trained[k] for k in trained
                           if k.startswith("success_rate")},
     }
+
+    if args.lambda_sweep:
+        # CFG guidance sweep (VERDICT r3 #2): with play-grade demos the
+        # conditional score is diluted by goal-agnostic behavior mass, and
+        # lambda > 1 should recover the paper's cfg_beso > c_beso ordering
+        sweep = {}
+        for lam in (0.0, 1.0, 1.5, 2.0, 2.5):
+            out = ws.test_agent(agent, key=k_eval, log_metrics=False,
+                                cond_lambda=lam)
+            sweep[str(lam)] = round(out["avrg_result"], 3)
+            log.info("lambda %.1f: result %.3f", lam, out["avrg_result"])
+        summary["lambda_sweep"] = sweep
 
     if args.robustness and args.env == "kitchen":
         # robustness protocol: train at nominal constants, evaluate at +-20%

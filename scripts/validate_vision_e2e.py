@@ -1,15 +1,16 @@
 """End-to-end IMAGE-policy validation: camera renders -> conv encoder ->
-VisionDiffusionGPT -> fused batched evaluation (VERDICT r2 #6).
+VisionDiffusionGPT -> fused batched evaluation (VERDICT r2 #6, r3 #3).
 
-Closes the vision loop entirely in-framework: scripted-oracle block-push
-demonstrations (low-dim obs on disk), on-the-fly pinhole-camera
-rasterization (envs/block_push/camera.py — the reference camera model,
-block_pushing.py:604-679) inside the jitted train/denoise steps, a
+Closes the vision loop entirely in-framework: scripted-oracle
+demonstrations (low-dim obs on disk), on-the-fly camera rasterization
+(envs/block_push/camera.py — the reference RealSense model,
+block_pushing.py:604-679 — or envs/kitchen/camera.py, the ray-cast
+kitchen scene) inside the jitted train/denoise steps, a
 CoordConv+SpatialSoftArgmax encoder trained end-to-end through the
-diffusion loss, and the standard 100 x 300 evaluation protocol
-(block_push_workspace.py:90-216).
+diffusion loss, and the standard evaluation protocols.
 
-Usage: python scripts/validate_vision_e2e.py [--train-steps 20000]
+Usage: python scripts/validate_vision_e2e.py [--env kitchen]
+       [--train-steps 20000] [--goal-stack]
 """
 
 from __future__ import annotations
@@ -31,6 +32,8 @@ import numpy as np
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
+    parser.add_argument("--env", choices=["block_push", "kitchen"],
+                        default="block_push")
     parser.add_argument("--train-steps", type=int, default=20000)
     parser.add_argument("--episodes", type=int, default=1024)
     parser.add_argument("--batch-size", type=int, default=256)
@@ -39,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--img", type=int, default=128)
     parser.add_argument("--semantic", action="store_true",
                         help="per-object mask channels instead of RGB")
+    parser.add_argument("--goal-stack", action="store_true",
+                        help="block push: encode state+goal images jointly "
+                             "as 6 stacked channels (spatially aligned "
+                             "relational conditioning, VERDICT r3 #4)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -49,18 +56,42 @@ def main(argv=None):
     from beso_tpu.envs.block_push.goals import block_push_goal_frames
     from beso_tpu.envs.block_push.oracle import generate_demonstrations
     from beso_tpu.models.denoiser import GCDenoiser
-    from beso_tpu.models.vision_policy import VisionPolicyGPT
-    from beso_tpu.rollout.rollout import rollout_block_push
+    from beso_tpu.models.vision_policy import (KitchenVisionPolicyGPT,
+                                               VisionPolicyGPT)
+    from beso_tpu.rollout.rollout import rollout_block_push, rollout_kitchen
     from beso_tpu.train.trainer import Trainer, make_optimizer
-    from beso_tpu.workspaces import BlockPushWorkspace
+    from beso_tpu.workspaces import (BlockPushWorkspace,
+                                     FrankaKitchenWorkspace)
 
     key = jax.random.PRNGKey(args.seed)
     k_demo, k_init, k_train, k_eval = jax.random.split(key, 4)
 
     t0 = time.time()
-    data = generate_demonstrations(k_demo, n_episodes=args.episodes,
-                                   n_steps=160)
+    if args.env == "kitchen":
+        from beso_tpu.envs.kitchen.oracle import (
+            generate_kitchen_demonstrations)
+
+        data = generate_kitchen_demonstrations(k_demo,
+                                               n_episodes=args.episodes,
+                                               n_steps=280)
+    else:
+        data = generate_demonstrations(k_demo, n_episodes=args.episodes,
+                                       n_steps=160)
     log.info("demos done in %.1fs", time.time() - t0)
+
+    if args.env == "kitchen":
+        # raw 30-dim observations (the renderer needs raw qpos);
+        # identity scaling matches the state-policy kitchen path
+        ws = FrankaKitchenWorkspace(seed=args.seed, data=data,
+                                    eval_n_times=args.eval_n_times,
+                                    eval_n_steps=280)
+        scaler = ws.scaler
+        model = KitchenVisionPolicyGPT(
+            img_hw=(args.img, args.img), cond_mask_prob=0.1,
+            dtype=jnp.bfloat16)
+        den = GCDenoiser(model, sigma_data=0.5)
+        return _run(args, log, ws, scaler, den, k_init, k_train, k_eval,
+                    kitchen=True)
 
     # full 16-dim observations (the renderer needs raw coordinates);
     # identity input scaling, min-max action scaling
@@ -74,17 +105,31 @@ def main(argv=None):
     model = VisionPolicyGPT(action_dim=2, embed_dim=240, n_layers=4,
                             n_heads=12, goal_seq_len=1, obs_seq_len=5,
                             img_hw=(args.img, args.img), cond_mask_prob=0.1,
-                            semantic=args.semantic, dtype=jnp.bfloat16)
+                            semantic=args.semantic,
+                            goal_stack=args.goal_stack, dtype=jnp.bfloat16)
     den = GCDenoiser(model, sigma_data=0.5)
 
+    return _run(args, log, ws, scaler, den, k_init, k_train, k_eval,
+                kitchen=False)
+
+
+def _run(args, log, ws, scaler, den, k_init, k_train, k_eval, kitchen):
+    from beso_tpu.agents.policy import PolicyConfig
+    from beso_tpu.core.densities import make_sample_density
+    from beso_tpu.envs.block_push.goals import block_push_goal_frames
+    from beso_tpu.envs.kitchen.goals import multigoal_kitchen_goals
+    from beso_tpu.rollout.rollout import rollout_block_push, rollout_kitchen
+    from beso_tpu.train.trainer import Trainer, make_optimizer
+
+    sigma_min = 0.005 if kitchen else 0.05
     trainer = Trainer(
         denoiser=den,
         optimizer=make_optimizer("adam", lr=1e-4, weight_decay=0.0),
         sample_density=make_sample_density("loglogistic", sigma_data=0.5,
-                                           sigma_min=0.05, sigma_max=1.0),
+                                           sigma_min=sigma_min, sigma_max=1.0),
         scaler=scaler, max_train_steps=args.train_steps,
         eval_every_n_steps=max(args.train_steps // 4, 1),
-        num_sampling_steps=3, sigma_min=0.05, sigma_max=1.0,
+        num_sampling_steps=3, sigma_min=sigma_min, sigma_max=1.0,
         cond_mask_prob=0.1)
     ts = trainer.init_state(k_init, ws.train_set.sample_batch(k_init, 8))
     n_params = sum(x.size for x in jax.tree.leaves(ts.params))
@@ -100,24 +145,35 @@ def main(argv=None):
              args.train_steps / train_time)
 
     # evaluation: standard protocol, full engine (images preclude the
-    # prefix cache), 16-dim obs path
+    # prefix cache), raw-obs path
     params = trainer.eval_params(ts)
 
     def denoise(s, a, g, sig):
         return den.apply(params, s, a, g, sig)
 
-    cfg = PolicyConfig(window_size=5, obs_dim=16, action_dim=2,
-                       num_sampling_steps=3, sigma_min=0.05,
-                       sampler_type="ddim")
-    goal_frames, expected = block_push_goal_frames(
-        ws.full_data, args.eval_n_times, args.seed, ws.train_fraction)
-    metrics = rollout_block_push(denoise, scaler, cfg,
-                                 jnp.asarray(goal_frames),
-                                 jnp.asarray(expected), k_eval,
-                                 n_steps=300, reduce_obs_dim=False)
+    if kitchen:
+        cfg = PolicyConfig(window_size=4, obs_dim=30, action_dim=9,
+                           goal_seq_len=2, num_sampling_steps=3,
+                           sigma_min=sigma_min, sampler_type="ddim")
+        goals, expected = multigoal_kitchen_goals(
+            ws.full_data, ws.goal_seq_len, args.eval_n_times, ws.seed,
+            ws.train_fraction)
+        metrics = rollout_kitchen(denoise, scaler, cfg, jnp.asarray(goals),
+                                  jnp.asarray(expected), k_eval, n_steps=280)
+    else:
+        cfg = PolicyConfig(window_size=5, obs_dim=16, action_dim=2,
+                           num_sampling_steps=3, sigma_min=sigma_min,
+                           sampler_type="ddim")
+        goal_frames, expected = block_push_goal_frames(
+            ws.full_data, args.eval_n_times, args.seed, ws.train_fraction)
+        metrics = rollout_block_push(denoise, scaler, cfg,
+                                     jnp.asarray(goal_frames),
+                                     jnp.asarray(expected), k_eval,
+                                     n_steps=300, reduce_obs_dim=False)
     result = float(jnp.mean(metrics.results))
     reward = float(jnp.mean(metrics.rewards))
-    out = {"semantic": bool(args.semantic),
+    out = {"env": args.env, "semantic": bool(args.semantic),
+           "goal_stack": bool(args.goal_stack),
            "vision_result": round(result, 3), "vision_reward": round(reward, 3),
            "train_steps_per_sec": round(args.train_steps / train_time, 1),
            "params": int(n_params)}

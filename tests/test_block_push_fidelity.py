@@ -3,13 +3,18 @@
 scripts/calibrate_block_push.py builds the reference scene (0.04 m cube
 blocks, 0.0127 m cylinder effector — straight from the vendored URDFs) in
 host MuJoCo and records golden trajectories/ensemble statistics; these tests
-pin the JAX quasi-static (Mason/Lynch) push model against them.
+pin the JAX planar rigid-body contact model (round 4: spring-damper pusher
+force with the tipping-plateau law + 4-corner-point ground friction)
+against them.
 
-Individual contact-rich trajectories are chaotic (a perfectly central
-MuJoCo push drifts ~3 cm sideways from numerical symmetry breaking), so the
-binding checks are (a) the early contact phase of a scripted off-center
-push, where the quasi-static model is near-exact, and (b) ensemble
-displacement/rotation statistics staying within calibrated bands.
+Round-4 methodology (measured with `calibrate_block_push.py --dispersion`):
+the scripted scenarios split into STABLE ones — off-center, rotated,
+diagonal, whose MuJoCo final state moves only a few mm / deg under
++-0.5 mm initial perturbation — and CHAOTIC ones (central,
+block_into_block) whose MuJoCo dispersion is 30-50 mm because long aligned
+plows break by numerical symmetry-breaking at an unpredictable point.
+Pointwise RMSE is asserted on the stable set only; the chaotic scenarios
+are covered by the ensemble statistics and behavioral checks below.
 """
 
 from pathlib import Path
@@ -22,6 +27,9 @@ import pytest
 import beso_tpu.envs.block_push.env as bpe
 
 GOLDEN = Path(__file__).parent / "golden" / "block_push_mujoco.npz"
+
+STABLE = ["offcenter_0.25", "offcenter_0.5", "offcenter_0.75", "rotated",
+          "diagonal"]
 
 
 def _run_jax(b0, yaw0, b1, eff0, offsets):
@@ -39,6 +47,10 @@ def _run_jax(b0, yaw0, b1, eff0, offsets):
 
     _, traj = jax.lax.scan(body, state, jnp.asarray(offsets, jnp.float32))
     return np.asarray(traj)
+
+
+def _wrap(a):
+    return (a + np.pi) % (2 * np.pi) - np.pi
 
 
 @pytest.fixture(scope="module")
@@ -62,51 +74,64 @@ class TestContactPhase:
         assert bpe.BLOCK_HALF == pytest.approx(0.02)      # block2.urdf 0.04 box
         assert bpe.EFFECTOR_RADIUS == pytest.approx(0.0127)  # cylinder_real
         assert bpe.N_SUBSTEPS == 24                        # 240 Hz / 10 Hz
+        assert bpe.BLOCK_MASS == pytest.approx(0.01)       # block2.urdf
         # physical friction radius of gyration of a uniform square
         assert bpe.FRICTION_K2 == pytest.approx((0.04 ** 2) / 6)
+        # ground friction acts at the face corners (MuJoCo's box-plane
+        # contact placement) with the full mg split across 4 points
+        assert np.allclose(np.abs(np.asarray(bpe._GROUND_PTS)), 0.02)
+        assert bpe.F_G_MAX == pytest.approx(0.01 * 9.81 / 4)
 
     @pytest.mark.parametrize("name", ["central", "offcenter_0.5", "rotated"])
     def test_early_contact_phase_matches_mujoco(self, golden, name):
-        """During engaged contact (first 2 control steps = 48 substeps) the
-        quasi-static model tracks the rigid-body sim to a few mm / a few
-        degrees — before the chaotic corner-escape phase."""
+        """During the first engaged control steps the dynamic model tracks
+        the rigid-body sim to ~1 cm / ~10 deg — before the chaotic
+        corner-escape phase."""
         mj, scn = _scenario(golden, name)
         jx = _run_jax(*scn)
         i = 2  # first control step with engaged contact (approach is 3 steps)
         pos_err = np.abs(mj[i, :2] - jx[i, :2]).max()
-        yaw_err = np.abs((mj[i, 2] - jx[i, 2] + np.pi) % (2 * np.pi) - np.pi)
-        assert pos_err < 0.009, f"{name}: {pos_err*1000:.1f} mm at step {i}"
-        assert yaw_err < 0.12, f"{name}: {np.degrees(yaw_err):.1f} deg"
+        yaw_err = np.abs(_wrap(mj[i, 2] - jx[i, 2]))
+        assert pos_err < 0.012, f"{name}: {pos_err*1000:.1f} mm at step {i}"
+        assert yaw_err < 0.20, f"{name}: {np.degrees(yaw_err):.1f} deg"
 
     def test_offcenter_rotation_sign(self, golden):
         """Off-center pushes must rotate the block in the torque direction
-        during engagement (the pre-calibration model had an identically
-        zero lever term)."""
+        during engagement."""
         mj, scn = _scenario(golden, "offcenter_0.5")
         jx = _run_jax(*scn)
         # contact right of center, pushing north -> CCW (positive) early on
-        assert jx[2, 2] > 0.02
+        assert jx[2, 2] > 0.01
         assert np.sign(jx[2, 2]) == np.sign(mj[2, 2])
+
+
+class TestStableScripted:
+    """Pointwise trajectory RMSE on the dispersion-stable scenarios
+    (MuJoCo self-dispersion < ~6 mm / ~10 deg there; shipped model
+    measured 3.4 mm / 10.7 deg mean RMSE at calibration time)."""
+
+    def test_stable_rmse(self, golden):
+        tp = ty = 0.0
+        for name in STABLE:
+            mj, scn = _scenario(golden, name)
+            jx = _run_jax(*scn)
+            tp += np.sqrt(np.mean(
+                (mj[:, [0, 1, 3, 4]] - jx[:, [0, 1, 3, 4]]) ** 2))
+            ty += np.sqrt(np.mean(_wrap(mj[:, 2] - jx[:, 2]) ** 2))
+        assert tp / len(STABLE) < 0.008, f"pos RMSE {tp/len(STABLE)*1000:.1f}mm"
+        assert np.degrees(ty / len(STABLE)) < 16.0, \
+            f"yaw RMSE {np.degrees(ty/len(STABLE)):.1f}deg"
 
 
 class TestEnsembleBands:
     """Ensemble statistics stay within the calibrated fidelity bands
-    (golden: parallel 26.6 mm, |perp| 25.6 mm, |dyaw| 12.2 deg for 12-step
-    northward pushes).
+    (MuJoCo golden n=32: parallel 26.6 mm, |perp| 25.6 mm, |dyaw|
+    12.2 deg for 12-step northward pushes).
 
-    Round-3 model (motion-cone slip with the FULL stick force + MuJoCo
-    face-normal corner classification + knock-away coast): ensemble
-    |dyaw| 22.0 deg — inside 2x of the MuJoCo band (the round-2 model
-    measured 36 deg, VERDICT r2 #3 asked for <= 2x) — and parallel carry
-    62 mm mean / 55 mm median on this n=16 set (the tangential stick drag
-    destabilizes face-aligned plowing, which the earlier normal-only
-    stick force artificially stabilized at 96/75). Documented residual vs
-    MuJoCo's 26.6/17.9: the final ~2x is the impulsive escape regime —
-    the mocap pusher knocks the real block to ~0.7 m/s along an oblique
-    face normal and it coasts clear in 1-2 control steps, a genuinely
-    dynamic (inertia-dominated) event; measured attempts to close it
-    (inertial mobility, kick-alpha sweep, chatter dither — see ROADMAP)
-    each regressed rotation or scripted fidelity."""
+    The round-4 dynamic model (spring-damper + tipping plateau + corner
+    ground friction) measured par 28.0 mm / perp 21.2 mm / yaw 15.2 deg
+    on the n=32 calibration ensemble — the push-parallel carry residual
+    VERDICT r3 #1 called out (round 3: 61 mm, 2.3x MuJoCo) is CLOSED."""
 
     def test_ensemble_statistics(self):
         rng = np.random.default_rng(0)
@@ -120,11 +145,35 @@ class TestEnsembleBands:
                          offsets)
             d_par.append(t[-1, 1] + 0.2)
             d_perp.append(abs(t[-1, 0] - 0.4))
-            d_yaw.append(abs((t[-1, 2] - yaw + np.pi) % (2 * np.pi) - np.pi))
-        # parallel carry: above the MuJoCo mean (documented residual),
-        # below runaway (a glued block would carry the full 420 mm stroke)
-        assert 0.015 < np.mean(d_par) < 0.10, np.mean(d_par)
-        assert 0.010 < np.mean(d_perp) < 0.065, np.mean(d_perp)
-        # rotation: inside ~2x of the MuJoCo golden band (12.2 +- 11.5 deg)
+            d_yaw.append(abs(_wrap(t[-1, 2] - yaw)))
+        # parallel carry inside 1.7x of the MuJoCo mean both ways
+        assert 0.016 < np.mean(d_par) < 0.045, np.mean(d_par)
+        assert 0.010 < np.mean(d_perp) < 0.045, np.mean(d_perp)
+        # rotation present and inside ~1.7x of the MuJoCo band
         assert np.degrees(np.mean(d_yaw)) > 3.0, "rotation response missing"
-        assert np.degrees(np.mean(d_yaw)) < 24.4, "rotation beyond 2x MuJoCo"
+        assert np.degrees(np.mean(d_yaw)) < 21.0, "rotation beyond band"
+
+
+class TestDynamicBehavior:
+    """Behavioral checks of the rigid-body regime (knock-away + trains)."""
+
+    def test_knocked_block_comes_to_rest(self):
+        """A short push knocks the block away; ground friction must bring
+        it back to rest within a couple of control steps (no perpetual
+        sliding, no runaway spin)."""
+        offsets = [(0.0, 0.035)] * 3 + [(0.0, 0.0)] * 6
+        t = _run_jax((0.4, -0.24), 0.3, (0.8, 0.6), (0.405, -0.30), offsets)
+        # block moved at all
+        assert np.linalg.norm(t[3, :2] - [0.4, -0.24]) > 0.005
+        # and is at rest well before the end (last 3 steps identical)
+        assert np.linalg.norm(t[-1, :2] - t[-3, :2]) < 5e-4
+        assert abs(_wrap(t[-1, 2] - t[-3, 2])) < 0.01
+
+    def test_two_block_train_no_tunneling(self):
+        """Pushing a block into a second block moves BOTH and the pusher
+        never passes through (b0 stays south of b1)."""
+        offsets = [(0.0, 0.035)] * 8
+        t = _run_jax((0.4, -0.2), 0.0, (0.4, -0.11), (0.4, -0.3), offsets)
+        b0_y, b1_y = t[-1, 1], t[-1, 4]
+        assert b1_y > -0.11 + 0.005, "second block never moved"
+        assert b0_y < b1_y, "blocks swapped / pusher tunneled through"
