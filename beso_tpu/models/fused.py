@@ -164,7 +164,8 @@ def make_fused_cached_denoise_fn(den, params: Any, goals_scaled, sigmas, *,
                                  env_block: int = ENV_BLOCK,
                                  interpret: Optional[bool] = None,
                                  token_lanes: bool = True,
-                                 attn_qbatch: bool = False):
+                                 attn_qbatch: bool = False,
+                                 layer_group: int = 1):
     """Combined engine: prefix-KV caching (models/cached.py) + the fused
     Pallas suffix layers. Per episode, the [sigma, goal] prefix K/V are
     built once per grid sigma (XLA, cheap); every denoiser call then runs
@@ -182,6 +183,9 @@ def make_fused_cached_denoise_fn(den, params: Any, goals_scaled, sigmas, *,
     removing the f32 [B, 2T, D] epilogue traffic (measured 5.75 -> 5.1
     ms/call at B=4096 kitchen). `attn_qbatch=True` switches the attention
     phase to the key-batched form (parity-kept; ~2% slower on chip).
+    `layer_group=N` (round 4, VERDICT r3 #7) runs N consecutive blocks
+    inside ONE pallas_call (intermediate activations never leave VMEM,
+    one launch per group); N=2 fits the 360-D kitchen model's weights.
 
     Same gating as the cached engine: grid-sigma samplers only. Returned
     `dn(states, actions, goals_ignored, sigma)` is EDM-preconditioned.
@@ -282,16 +286,33 @@ def make_fused_cached_denoise_fn(den, params: Any, goals_scaled, sigmas, *,
             x = (seq.reshape(nB, env_block, T2, D)
                  .transpose(0, 3, 2, 1).reshape(nB, D, T2 * env_block))
             n_layers = len(fp.layers)
-            for li, lp in enumerate(fp.layers):
-                last = li == n_layers - 1
-                out = fused_layer_prefix_tl_v2(
-                    x, pk_by_layer[li], pv_by_layer[li], idx32, lp,
-                    n_heads=H, head_dim=hd, suffix_len=T2,
-                    approximate_gelu=model.approximate_gelu,
-                    qbatch=attn_qbatch,
-                    epilogue=epi if (last and use_epilogue) else None,
-                    interpret=interpret)
-                x = out[0] if (last and use_epilogue) else out
+            if layer_group > 1:
+                from beso_tpu.ops.fused_layer import (
+                    fused_layers_prefix_tl_v2_group)
+
+                for lo in range(0, n_layers, layer_group):
+                    hi_ = min(lo + layer_group, n_layers)
+                    last = hi_ == n_layers
+                    out = fused_layers_prefix_tl_v2_group(
+                        x, pk_by_layer[lo:hi_], pv_by_layer[lo:hi_],
+                        idx32, list(fp.layers[lo:hi_]),
+                        n_heads=H, head_dim=hd, suffix_len=T2,
+                        approximate_gelu=model.approximate_gelu,
+                        qbatch=attn_qbatch,
+                        epilogue=epi if (last and use_epilogue) else None,
+                        interpret=interpret)
+                    x = out[0] if (last and use_epilogue) else out
+            else:
+                for li, lp in enumerate(fp.layers):
+                    last = li == n_layers - 1
+                    out = fused_layer_prefix_tl_v2(
+                        x, pk_by_layer[li], pv_by_layer[li], idx32, lp,
+                        n_heads=H, head_dim=hd, suffix_len=T2,
+                        approximate_gelu=model.approximate_gelu,
+                        qbatch=attn_qbatch,
+                        epilogue=epi if (last and use_epilogue) else None,
+                        interpret=interpret)
+                    x = out[0] if (last and use_epilogue) else out
             if use_epilogue:
                 # pred [nB, Mp, 2T*E] f32 -> [B, T, act]: action slots are
                 # the odd suffix tokens

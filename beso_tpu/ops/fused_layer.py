@@ -413,6 +413,150 @@ def _tl_attention(qbatch: bool, T: int, P: int, H: int, hdp: int, E: int,
         qkv_ref[0:HD, i * E:(i + 1) * E] = y.reshape(HD, E)
 
 
+def _tl_v2_block(n_heads, head_dim, approximate_gelu, suffix_len, qbatch,
+                 ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+                 ln2s, ln2b, wfc, bfc, wfc2, bfc2,
+                 pk, pv, x, qkv_ref):
+    """One tl-v2 transformer block on in-VMEM values x [D, T*E]; pk/pv are
+    the layer's prefix K/V values [HD, P*E]. Returns the block output."""
+    T = suffix_len
+    H = n_heads
+    HD = qkv_ref.shape[0] // 3
+    hdp = HD // H
+    TE = x.shape[1]
+    E = TE // T
+    P = pk.shape[1] // E
+    dtype = x.dtype
+    scale = 1.0 / (head_dim ** 0.5)
+
+    h = _layernorm(x, ln1s, ln1b, dtype)
+    qkv_ref[:, :] = _matmul(wqkv, h, bqkv, dtype)
+    _tl_attention(qbatch, T, P, H, hdp, E, scale, dtype, pk, pv, qkv_ref)
+    x1 = x + _matmul(wproj, qkv_ref[0:HD], bproj, dtype)
+    h2 = _layernorm(x1, ln2s, ln2b, dtype)
+    h2 = _matmul(wfc, h2, bfc, dtype)
+    h2 = jax.nn.gelu(h2, approximate=approximate_gelu)
+    return x1 + _matmul(wfc2, h2, bfc2, dtype)
+
+
+def _layer_kernel_prefix_tl_v2_multi(n_heads: int, head_dim: int,
+                                     approximate_gelu: bool, suffix_len: int,
+                                     qbatch: bool, epilogue: bool,
+                                     n_group: int,
+                                     # scalar-prefetch ref:
+                                     idx_ref,
+                                     *rest):
+    """Multi-layer tl-v2 kernel (round 4, VERDICT r3 #7): `n_group`
+    transformer blocks run back-to-back INSIDE one pallas_call — the
+    intermediate activations never leave VMEM and per-layer launch /
+    epilogue overhead disappears. Weight refs for all grouped layers are
+    resident in VMEM simultaneously (2 layers of the 360-D kitchen model
+    fit comfortably; 3+ do not)."""
+    del idx_ref
+    n_w = 12 * n_group
+    w_refs = rest[:n_w]
+    rest = rest[n_w:]
+    if epilogue:
+        (lnfs, lnfb, whead, bhead) = rest[:4]
+        rest = rest[4:]
+    pkv_refs = rest[:2 * n_group]
+    rest = rest[2 * n_group:]
+    if epilogue:
+        x_ref, o_ref, pred_ref, qkv_ref = rest
+    else:
+        x_ref, o_ref, qkv_ref = rest
+
+    x = x_ref[0]
+    for li in range(n_group):
+        (ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+         ln2s, ln2b, wfc, bfc, wfc2, bfc2) = w_refs[12 * li:12 * (li + 1)]
+        pk_ref, pv_ref = pkv_refs[2 * li:2 * (li + 1)]
+        x = _tl_v2_block(n_heads, head_dim, approximate_gelu, suffix_len,
+                         qbatch,
+                         ln1s[:], ln1b[:], wqkv[:], bqkv[:], wproj[:],
+                         bproj[:], ln2s[:], ln2b[:], wfc[:], bfc[:],
+                         wfc2[:], bfc2[:],
+                         pk_ref[0, 0], pv_ref[0, 0], x, qkv_ref)
+    o_ref[0] = x
+    if epilogue:
+        xe = _layernorm(x, lnfs[:], lnfb[:], jnp.float32)
+        pred_ref[0] = jax.lax.dot_general(
+            whead[:], xe, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bhead[:]
+
+
+def fused_layers_prefix_tl_v2_group(x_tl: jnp.ndarray, pk_layers, pv_layers,
+                                    idx: jnp.ndarray, layer_params, *,
+                                    n_heads: int, head_dim: int,
+                                    suffix_len: int,
+                                    approximate_gelu: bool = True,
+                                    qbatch: bool = False,
+                                    epilogue=None,
+                                    interpret: bool = False):
+    """Grouped tl-v2 call: run len(layer_params) blocks in ONE pallas_call.
+
+    x_tl: [nB, D, T*E]; pk_layers/pv_layers: per-layer [S, nB, HD, P*E]
+    lists; idx: int32 [1] sigma row (scalar-prefetched). `epilogue` as in
+    fused_layer_prefix_tl_v2, applied after the LAST grouped layer."""
+    nB, D, TE = x_tl.shape
+    n_group = len(layer_params)
+    HD = layer_params[0].wqkv_t.shape[0] // 3
+    PE = pk_layers[0].shape[3]
+
+    kern = functools.partial(_layer_kernel_prefix_tl_v2_multi, n_heads,
+                             head_dim, approximate_gelu, suffix_len, qbatch,
+                             epilogue is not None, n_group)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def bmap(i, idx_ref):
+        return (i, 0, 0)
+
+    def pmap_(i, idx_ref):
+        return (idx_ref[0], i, 0, 0)
+
+    n_w = 12 * n_group + (4 if epilogue is not None else 0)
+    pkv_specs = []
+    for _ in range(n_group):
+        pkv_specs += [pl.BlockSpec((1, 1, HD, PE), pmap_,
+                                   memory_space=pltpu.VMEM)] * 2
+    in_specs = ([w_spec] * n_w + pkv_specs +
+                [pl.BlockSpec((1, D, TE), bmap, memory_space=pltpu.VMEM)])
+    out_spec = pl.BlockSpec((1, D, TE), bmap, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nB, D, TE), x_tl.dtype)
+    if epilogue is not None:
+        Mp = epilogue[2].shape[0]
+        out_specs = [out_spec,
+                     pl.BlockSpec((1, Mp, TE), bmap,
+                                  memory_space=pltpu.VMEM)]
+        out_shapes = [out_shape,
+                      jax.ShapeDtypeStruct((nB, Mp, TE), jnp.float32)]
+    else:
+        out_specs = out_spec
+        out_shapes = out_shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nB,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((3 * HD, TE), x_tl.dtype)],
+    )
+    args = []
+    for p in layer_params:
+        args += [p.ln1_scale, p.ln1_bias, p.wqkv_t, p.bqkv, p.wproj_t,
+                 p.bproj, p.ln2_scale, p.ln2_bias, p.wfc_t, p.bfc,
+                 p.wfc2_t, p.bfc2]
+    if epilogue is not None:
+        args += list(epilogue)
+    pkv = []
+    for pk, pv in zip(pk_layers, pv_layers):
+        pkv += [pk, pv]
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shapes,
+        interpret=interpret,
+    )(idx, *args, *pkv, x_tl)
+
+
 def _layer_kernel_prefix_tl_v2(n_heads: int, head_dim: int,
                                approximate_gelu: bool, suffix_len: int,
                                qbatch: bool, epilogue: bool,

@@ -190,6 +190,27 @@ class TestFusedCached:
                                    np.asarray(dn_ps(s, a, g, sig_b)),
                                    atol=1e-5, rtol=1e-4)
 
+    def test_layer_group_matches(self):
+        """The grouped multi-layer kernel (VERDICT r3 #7: N blocks in one
+        pallas_call) computes the same forward as per-layer calls, for
+        group sizes that do and do not divide the layer count."""
+        from beso_tpu.models.fused import make_fused_cached_denoise_fn
+
+        model = DiffusionGPT(**KITCHEN)
+        den = GCDenoiser(model, sigma_data=0.5)
+        s, a, g, sig, k = _inputs(KITCHEN, B=8, key=23)
+        params = den.init(k, s, a, g, sig)
+        sigmas = jnp.asarray([1.0, 0.18, 0.032])
+        sig_b = jnp.full((8,), 0.18)
+        ref = den.apply(params, s, a, g, sig_b)
+        for group in (2, 3, 4):
+            dn = make_fused_cached_denoise_fn(den, params, g, sigmas,
+                                              env_block=8, interpret=True,
+                                              layer_group=group)
+            np.testing.assert_allclose(np.asarray(dn(s, a, g, sig_b)),
+                                       np.asarray(ref),
+                                       atol=1e-5, rtol=1e-4)
+
     def test_qbatch_attention_matches(self):
         """Key-batched and unrolled attention phases of the tl v2 kernel
         agree (both against the flax forward)."""
