@@ -77,9 +77,21 @@ def sample_kitchen_style(key, play_style: bool = False) -> KitchenOracleStyle:
     )
 
 
-def sample_task_sequence(key, n_tasks: int = 4) -> jnp.ndarray:
-    """Random task sequence [4] over the 7 elements, -1 padded."""
-    perm = jax.random.permutation(key, 7)
+def sample_task_sequence(key, n_tasks: int = 4,
+                         kettle_boost: float = 0.0) -> jnp.ndarray:
+    """Random task sequence [4] over the 7 elements, -1 padded.
+
+    `kettle_boost`: probability of forcing the kettle (task 6, the
+    measured hardest element — tight 0.05 m grasp radius) to LEAD the
+    sequence — a data-curriculum knob that raises kettle practice frames
+    without changing the demo format."""
+    k_perm, k_boost = jax.random.split(key)
+    perm = jax.random.permutation(k_perm, 7)
+    if kettle_boost > 0.0:
+        force = jax.random.bernoulli(k_boost, kettle_boost)
+        kettle_pos = jnp.argmax(perm == 6)
+        swapped = perm.at[kettle_pos].set(perm[0]).at[0].set(6)
+        perm = jnp.where(force, swapped, perm)
     seq = perm[:n_tasks].astype(jnp.int32)
     return jnp.pad(seq, (0, 4 - n_tasks), constant_values=-1)
 
@@ -192,14 +204,15 @@ def kitchen_oracle_policy(state: KitchenState, carry: KitchenOracleCarry,
 def rollout_kitchen_oracle(key, n_steps: int = 280, n_tasks: int = 4,
                            action_noise: float = 0.0,
                            params: KitchenParams = DEFAULT_KITCHEN_PARAMS,
-                           play_style: bool = False):
+                           play_style: bool = False,
+                           kettle_boost: float = 0.0):
     """Single oracle episode: (obs [T,30], act [T,9], completed [7],
     completion_order [7], task_seq [4]). `action_noise` jitters the
     executed+recorded actions so demos cover recovery states; `play_style`
     draws per-episode execution styles (detour via another element,
     speed, wandering prefix, pauses) — see KitchenOracleStyle."""
     k_seq, k_noise, k_style = jax.random.split(key, 3)
-    task_seq = sample_task_sequence(k_seq, n_tasks)
+    task_seq = sample_task_sequence(k_seq, n_tasks, kettle_boost)
     style = sample_kitchen_style(k_style, play_style=play_style)
     env = kitchen_reset(key)
     carry = oracle_reset()
@@ -228,13 +241,16 @@ def generate_kitchen_demonstrations(key, n_episodes: int = 64,
                                     action_noise: float = 0.02,
                                     params: KitchenParams = DEFAULT_KITCHEN_PARAMS,
                                     play_style: bool = False,
+                                    kettle_boost: float = 0.0,
                                     ) -> TrajectoryData:
     """Relay-kitchen-format demos: onehot label row at each completion frame.
-    `play_style=True` adds human-play-like execution diversity."""
+    `play_style=True` adds human-play-like execution diversity;
+    `kettle_boost` leads sequences with the kettle at that probability."""
     keys = jax.random.split(key, n_episodes)
     obs, act, completed, order, _ = jax.vmap(
         lambda k: rollout_kitchen_oracle(k, n_steps, n_tasks, action_noise,
-                                         params, play_style))(keys)
+                                         params, play_style,
+                                         kettle_boost))(keys)
     obs, act = np.asarray(obs), np.asarray(act)
     completed, order = np.asarray(completed), np.asarray(order)
     onehot = np.zeros((n_episodes, n_steps, 7), np.float32)

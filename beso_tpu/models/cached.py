@@ -277,10 +277,16 @@ def make_rollout_denoise_factory(den, params: Any, scaler, cfg,
             g_model = g_s
         if use_fused:
             # Pallas suffix layers on top of the prefix cache (single
-            # device only — the kernel is not validated under sharding)
+            # device only — the kernel is not validated under sharding).
+            # BESO_LAYER_GROUP=N runs N blocks per pallas_call (VERDICT
+            # r3 #7 measurement knob; default 1 = per-layer calls).
+            import os
+
             from beso_tpu.models.fused import make_fused_cached_denoise_fn
 
-            return make_fused_cached_denoise_fn(den, params, g_model, sigmas)
+            return make_fused_cached_denoise_fn(
+                den, params, g_model, sigmas,
+                layer_group=int(os.environ.get("BESO_LAYER_GROUP", "1")))
         return make_cached_denoise_fn(den, params, g_model, sigmas)
 
     return factory

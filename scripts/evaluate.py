@@ -66,6 +66,9 @@ def main(argv=None):
         n_inference_steps=eval_cfg.get("n_inference_steps"),
         noise_scheduler=eval_cfg.get("noise_scheduler"),
         cond_lambda=cond_lambda,
+        # multi-sample action selection (reference get_mean/use_kde knobs)
+        get_mean=eval_cfg.get("n_action_samples"),
+        aggregation=eval_cfg.get("aggregation"),
     )
     num_runs = eval_cfg.get("num_runs", 100)
     num_steps = eval_cfg.get("num_steps_per_run", workspace.eval_n_steps)

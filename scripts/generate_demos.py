@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--play-style", action="store_true",
                         help="per-episode execution styles (approach angle,"
                              " speed, detours, wandering, pauses)")
+    parser.add_argument("--kettle-boost", type=float, default=0.0,
+                        help="kitchen: probability of leading the task"
+                             " sequence with the kettle (data curriculum)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -51,7 +54,8 @@ def main(argv=None):
 
         data = generate_kitchen_demonstrations(key, n_episodes=args.episodes,
                                                n_steps=args.steps or 280,
-                                               play_style=args.play_style)
+                                               play_style=args.play_style,
+                                               kettle_boost=args.kettle_boost)
         out = export_relay_kitchen(data, args.out)
     logging.info("wrote %d episodes to %s (labels/ep %.2f)", args.episodes,
                  out, float(data.onehot_goals.sum()) / args.episodes)
