@@ -551,8 +551,12 @@ def fused_layers_prefix_tl_v2_group(x_tl: jnp.ndarray, pk_layers, pv_layers,
     pkv = []
     for pk, pv in zip(pk_layers, pv_layers):
         pkv += [pk, pv]
+    # two layer groups' weights + buffers sit ~0.5 MB past the default
+    # 16 MB scoped-VMEM budget at the kitchen shapes — raise the limit
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(idx, *args, *pkv, x_tl)
 

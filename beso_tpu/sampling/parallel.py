@@ -20,6 +20,18 @@ for long grids.
 Use when denoiser latency (not throughput) limits the control loop and the
 grid is long; at BESO's default n=3 sequential stepping is already optimal.
 
+MEASURED CAVEAT (rounds 3-4, scripts/bench_picard.py): on single-chip TPU
+serving the engine is wall-clock NEGATIVE at every measured config — BESO
+scale (B=4, 11 tokens, 50 NFE: 2.93 ms sequential vs 8.98 ms K=12) AND the
+131-token action-chunking config (B=4, 50 NFE: 18.7 ms sequential vs
+145/248 ms at K=7/12). The folded [n*B] sweep does n times the work of a
+sequential step, so K sweeps pay only when the chip is so latency-bound
+that an n-times-larger batch is ~free; the in-device lax.scan control loop
+(no per-call host dispatch) never enters that regime. The capability is
+kept for completeness (and for future pipeline-parallel serving where
+sequential depth crosses chips); the shipped configs all use sequential
+samplers.
+
 Supported update rules: 'euler' (probability-flow Euler, gc_sampling.py:
 167-213 without churn) and 'ddim' (exponential-integrator step,
 gc_sampling.py:916-924) — both produce bitwise the same fixed point as

@@ -59,7 +59,13 @@ def main(argv=None):
     sigmas = get_noise_schedule(args.nfe, 0.005, 1.0, 5.0, "exponential")
 
     def dn(x, sigma):
-        return den.apply(params, s, x, g, sigma)
+        # Picard folds the sigma grid into the batch axis; tile the
+        # conditioning to match (sample_picard docstring contract)
+        reps = x.shape[0] // B
+        s_t = jnp.tile(s, (reps, 1, 1))
+        g_t = jnp.tile(g, (reps, 1, 1))
+        return den.apply(params, s_t, x, g_t, jnp.broadcast_to(
+            sigma, (x.shape[0],)) if jnp.ndim(sigma) == 0 else sigma)
 
     def timed(fn, label):
         @jax.jit
