@@ -153,8 +153,8 @@ def _run(args, log, ws, scaler, den, k_init, k_train, k_eval, kitchen):
 
     if kitchen:
         cfg = PolicyConfig(window_size=4, obs_dim=30, action_dim=9,
-                           goal_seq_len=2, num_sampling_steps=3,
-                           sigma_min=sigma_min, sampler_type="ddim")
+                           num_sampling_steps=3, sigma_min=sigma_min,
+                           sampler_type="ddim")
         goals, expected = multigoal_kitchen_goals(
             ws.full_data, ws.goal_seq_len, args.eval_n_times, ws.seed,
             ws.train_fraction)
