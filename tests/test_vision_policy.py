@@ -185,3 +185,76 @@ class TestVisionPolicy:
                        if "VisionDiffusionGPT" in str(p))
         assert enc_norm > 0, "no gradient reaches the image encoder"
         assert gpt_norm > 0
+
+
+class TestKitchenVisionPolicy:
+    """KitchenVisionPolicyGPT (VERDICT r3 #3): raw 30-dim kitchen obs in,
+    ray-cast render + shared conv encoder inside the step, future-obs
+    goals through the same camera, proprio (qpos[:9]) on each state
+    token."""
+
+    def _tiny(self):
+        from beso_tpu.models.denoiser import GCDenoiser
+        from beso_tpu.models.vision_policy import KitchenVisionPolicyGPT
+
+        model = KitchenVisionPolicyGPT(
+            action_dim=9, embed_dim=48, n_layers=1, n_heads=4,
+            goal_seq_len=2, obs_seq_len=3, embed_size=8, img_hw=(24, 24))
+        return GCDenoiser(model, sigma_data=0.5)
+
+    def _batch(self, key, B=2, T=3, G=2):
+        from beso_tpu.envs.kitchen.env import INIT_QPOS
+
+        k1, k2, k3 = jax.random.split(key, 3)
+        base = jnp.asarray(INIT_QPOS)[None, None, :30]
+        s = base + 0.05 * jax.random.normal(k1, (B, T, 30))
+        a = 0.1 * jax.random.normal(k2, (B, T, 9))
+        g = base + 0.05 * jax.random.normal(k3, (B, G, 30))
+        sig = jnp.full((B,), 0.5)
+        return s, a, g, sig
+
+    def test_forward_shapes_and_uncond(self):
+        den = self._tiny()
+        key = jax.random.PRNGKey(0)
+        s, a, g, sig = self._batch(key)
+        params = den.init(key, s, a, g, sig)
+        out = den.apply(params, s, a, g, sig)
+        assert out.shape == (2, 3, 9)
+        assert np.isfinite(np.asarray(out)).all()
+        out_u = den.apply(params, s, a, g, sig, uncond=True)
+        assert not np.allclose(np.asarray(out), np.asarray(out_u))
+
+    def test_goal_conditioning_is_live(self):
+        """Different goal scenes (kettle moved, door open) must change the
+        denoiser output — the goal image path is load-bearing."""
+        from beso_tpu.envs.kitchen.env import OBS_ELEMENT_GOALS
+
+        den = self._tiny()
+        key = jax.random.PRNGKey(1)
+        s, a, g, sig = self._batch(key)
+        params = den.init(key, s, a, g, sig)
+        out1 = den.apply(params, s, a, g, sig)
+        g2 = g.at[:, :, 23:30].set(jnp.asarray(
+            OBS_ELEMENT_GOALS["kettle"]))
+        out2 = den.apply(params, s, a, g2, sig)
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_loss_and_grads(self):
+        den = self._tiny()
+        key = jax.random.PRNGKey(2)
+        s, a, g, sig = self._batch(key)
+        params = den.init(key, s, a, g, sig)
+        noise = jax.random.normal(key, a.shape)
+
+        def loss(p):
+            return den.loss(p, s, a, g, noise, sig)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        leaves = jax.tree_util.tree_leaves_with_path(grads)
+        enc_norm = sum(float(jnp.abs(gr).sum()) for p, gr in leaves
+                       if "ConvImageEncoder" in str(p))
+        gpt_norm = sum(float(jnp.abs(gr).sum()) for p, gr in leaves
+                       if "VisionDiffusionGPT" in str(p))
+        assert enc_norm > 0, "no gradient reaches the image encoder"
+        assert gpt_norm > 0
