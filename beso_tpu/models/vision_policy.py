@@ -83,6 +83,11 @@ class KitchenVisionPolicyGPT(nn.Module):
     attn_pdrop: float = 0.3
     resid_pdrop: float = 0.0
     cond_mask_prob: float = 0.0
+    # freeze_encoder=True: stop gradients into the conv encoder so grafted
+    # pretrained weights (models/pretrain.py — the in-framework analogue of
+    # the reference's precomputed pretrained embeddings,
+    # franka_kitchen/dataloader.py:94-161) stay fixed during policy training
+    freeze_encoder: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,7 +99,7 @@ class KitchenVisionPolicyGPT(nn.Module):
         G = goals.shape[1]
         h, w = self.img_hw
         enc = ConvImageEncoder(self.embed_size, features=self.enc_features,
-                               dtype=self.dtype)
+                               dtype=self.dtype, name="encoder")
 
         def render(o):
             return render_kitchen_obs_rgb(o, h, w) - jnp.asarray(
@@ -103,10 +108,13 @@ class KitchenVisionPolicyGPT(nn.Module):
         s_img = jax.vmap(render)(states.reshape(B * T, 30))
         s_feat = enc(s_img).reshape(B, T, self.embed_size)
         proprio = states[..., :9] / 3.0
-        s_tok = jnp.concatenate([s_feat, proprio.astype(s_feat.dtype)], -1)
 
         g_img = jax.vmap(render)(goals.reshape(B * G, 30))
         g_feat = enc(g_img).reshape(B, G, self.embed_size)
+        if self.freeze_encoder:
+            s_feat = jax.lax.stop_gradient(s_feat)
+            g_feat = jax.lax.stop_gradient(g_feat)
+        s_tok = jnp.concatenate([s_feat, proprio.astype(s_feat.dtype)], -1)
 
         inner = VisionDiffusionGPT(
             state_dim=self.embed_size + 9, action_dim=self.action_dim,
@@ -150,6 +158,8 @@ class VisionPolicyGPT(nn.Module):
     attn_pdrop: float = 0.05
     resid_pdrop: float = 0.05
     cond_mask_prob: float = 0.0
+    # see KitchenVisionPolicyGPT.freeze_encoder
+    freeze_encoder: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -159,7 +169,7 @@ class VisionPolicyGPT(nn.Module):
         G = goals.shape[1]
         h, w = self.img_hw
         enc = ConvImageEncoder(self.embed_size, features=self.enc_features,
-                               dtype=self.dtype)
+                               dtype=self.dtype, name="encoder")
 
         def render(o):
             if self.semantic:
@@ -176,6 +186,8 @@ class VisionPolicyGPT(nn.Module):
             g_rep = jnp.repeat(g_img0, T, axis=0)               # [B*T, ...]
             s_img = jnp.concatenate([s_img, g_rep], axis=-1)
         s_feat = enc(s_img).reshape(B, T, self.embed_size)
+        if self.freeze_encoder:
+            s_feat = jax.lax.stop_gradient(s_feat)
         # proprioception: the policy must know its hand even if the
         # effector is occluded/ambiguous in the image
         proprio = (states[..., 6:8] - jnp.asarray([0.425, 0.0])) / 0.3
@@ -193,6 +205,8 @@ class VisionPolicyGPT(nn.Module):
             # is on — goal tokens see (goal, goal)
             g_img = jnp.concatenate([g_img, g_img], axis=-1)
         g_feat = enc(g_img).reshape(B, G, self.embed_size)
+        if self.freeze_encoder:
+            g_feat = jax.lax.stop_gradient(g_feat)
 
         inner = VisionDiffusionGPT(
             state_dim=self.embed_size + 2, action_dim=self.action_dim,

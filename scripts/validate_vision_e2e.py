@@ -46,6 +46,14 @@ def main(argv=None):
                         help="block push: encode state+goal images jointly "
                              "as 6 stacked channels (spatially aligned "
                              "relational conditioning, VERDICT r3 #4)")
+    parser.add_argument("--pretrain-steps", type=int, default=0,
+                        help="pretrain the conv encoder by state regression "
+                             "from pixels before policy training (the "
+                             "in-framework analogue of the reference's "
+                             "precomputed pretrained embeddings)")
+    parser.add_argument("--freeze-encoder", action="store_true",
+                        help="stop gradients into the (pretrained) encoder "
+                             "during policy training")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -88,10 +96,10 @@ def main(argv=None):
         scaler = ws.scaler
         model = KitchenVisionPolicyGPT(
             img_hw=(args.img, args.img), cond_mask_prob=0.1,
-            dtype=jnp.bfloat16)
+            freeze_encoder=args.freeze_encoder, dtype=jnp.bfloat16)
         den = GCDenoiser(model, sigma_data=0.5)
         return _run(args, log, ws, scaler, den, k_init, k_train, k_eval,
-                    kitchen=True)
+                    kitchen=True, model=model)
 
     # full 16-dim observations (the renderer needs raw coordinates);
     # identity input scaling, min-max action scaling
@@ -106,14 +114,68 @@ def main(argv=None):
                             n_heads=12, goal_seq_len=1, obs_seq_len=5,
                             img_hw=(args.img, args.img), cond_mask_prob=0.1,
                             semantic=args.semantic,
-                            goal_stack=args.goal_stack, dtype=jnp.bfloat16)
+                            goal_stack=args.goal_stack,
+                            freeze_encoder=args.freeze_encoder,
+                            dtype=jnp.bfloat16)
     den = GCDenoiser(model, sigma_data=0.5)
 
     return _run(args, log, ws, scaler, den, k_init, k_train, k_eval,
-                kitchen=False)
+                kitchen=False, model=model)
 
 
-def _run(args, log, ws, scaler, den, k_init, k_train, k_eval, kitchen):
+def _pretrain_encoder(args, log, ws, model, kitchen):
+    """State-regression pretraining of the policy's conv encoder
+    (models/pretrain.py). Returns (encoder_params, info)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beso_tpu.models.pretrain import pretrain_state_regression
+
+    h = w = args.img
+    if kitchen:
+        from beso_tpu.envs.kitchen.camera import render_kitchen_obs_rgb
+
+        def render(o):
+            return render_kitchen_obs_rgb(o, h, w) - jnp.asarray(
+                [0.93, 0.93, 0.91])
+    else:
+        from beso_tpu.envs.block_push.camera import (render_obs_masks,
+                                                      render_obs_rgb)
+
+        def render(o):
+            if args.semantic:
+                return render_obs_masks(o, h, w)
+            return render_obs_rgb(o, h, w) - jnp.asarray([0.92, 0.92, 0.90])
+
+    obs = ws.full_data.observations
+    lens = ws.full_data.lengths
+    pool = np.concatenate([obs[i, :lens[i]] for i in range(obs.shape[0])])
+    if not kitchen:
+        # the encoder also sees GOAL pictures at policy time: blocks kept,
+        # every other dim pushed out of frame (vision_policy.py goal path)
+        goal_rows = np.concatenate(
+            [pool[:, :6], np.full((pool.shape[0], 10), 10.0, np.float32)], 1)
+        pool = np.concatenate([pool, goal_rows])
+    rng = np.random.default_rng(args.seed)
+    pool = pool[rng.permutation(pool.shape[0])[:200_000]]
+
+    t0 = time.time()
+    enc_params, info = pretrain_state_regression(
+        jax.random.PRNGKey(args.seed + 1), pool, render,
+        embed_size=model.embed_size, features=model.enc_features,
+        dtype=model.dtype, steps=args.pretrain_steps,
+        batch_size=args.batch_size)
+    log.info("encoder pretraining: %d steps in %.1fs, loss %.4f -> %.4f, "
+             "state RMSE (orig units) mean %.4f",
+             args.pretrain_steps, time.time() - t0, info["first_loss"],
+             info["final_loss"], info["rmse_mean"])
+    log.info("per-dim RMSE: %s",
+             np.array2string(info["rmse_per_dim"], precision=3))
+    return enc_params, info
+
+
+def _run(args, log, ws, scaler, den, k_init, k_train, k_eval, kitchen,
+         model=None):
     from beso_tpu.agents.policy import PolicyConfig
     from beso_tpu.core.densities import make_sample_density
     from beso_tpu.envs.block_push.goals import block_push_goal_frames
@@ -134,6 +196,20 @@ def _run(args, log, ws, scaler, den, k_init, k_train, k_eval, kitchen):
     ts = trainer.init_state(k_init, ws.train_set.sample_batch(k_init, 8))
     n_params = sum(x.size for x in jax.tree.leaves(ts.params))
     log.info("vision policy: %d params", n_params)
+
+    pretrain_info = None
+    if args.pretrain_steps > 0:
+        if getattr(args, "goal_stack", False):
+            raise SystemExit("--pretrain-steps does not support --goal-stack "
+                             "(the stacked encoder takes 6 channels)")
+        from beso_tpu.models.ema import ema_init
+        from beso_tpu.models.pretrain import graft_encoder_params
+        from beso_tpu.train.trainer import TrainState
+
+        enc_params, pretrain_info = _pretrain_encoder(args, log, ws, model,
+                                                      kitchen)
+        grafted = graft_encoder_params(ts.params, enc_params)
+        ts = TrainState(grafted, ts.opt_state, ema_init(grafted), ts.step)
 
     t0 = time.time()
     ts = trainer.train(ts, ws.train_set,
@@ -174,9 +250,13 @@ def _run(args, log, ws, scaler, den, k_init, k_train, k_eval, kitchen):
     reward = float(jnp.mean(metrics.rewards))
     out = {"env": args.env, "semantic": bool(args.semantic),
            "goal_stack": bool(args.goal_stack),
+           "pretrain_steps": int(args.pretrain_steps),
+           "freeze_encoder": bool(args.freeze_encoder),
            "vision_result": round(result, 3), "vision_reward": round(reward, 3),
            "train_steps_per_sec": round(args.train_steps / train_time, 1),
            "params": int(n_params)}
+    if pretrain_info is not None:
+        out["pretrain_rmse_mean"] = round(pretrain_info["rmse_mean"], 4)
     print(json.dumps(out))
     return out
 

@@ -34,6 +34,7 @@ SLOW_TEST_MODULES = {
     "test_pallas_ops",
     "test_parallel",
     "test_parallel_sampling",
+    "test_pretrain",
     "test_reference_parity",
     "test_rollout",
     "test_studies",

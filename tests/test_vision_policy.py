@@ -180,7 +180,7 @@ class TestVisionPolicy:
         assert np.isfinite(float(val))
         leaves = jax.tree_util.tree_leaves_with_path(grads)
         enc_norm = sum(float(jnp.abs(g).sum()) for p, g in leaves
-                       if "ConvImageEncoder" in str(p))
+                       if "encoder" in str(p))
         gpt_norm = sum(float(jnp.abs(g).sum()) for p, g in leaves
                        if "VisionDiffusionGPT" in str(p))
         assert enc_norm > 0, "no gradient reaches the image encoder"
@@ -253,7 +253,7 @@ class TestKitchenVisionPolicy:
         assert np.isfinite(float(val))
         leaves = jax.tree_util.tree_leaves_with_path(grads)
         enc_norm = sum(float(jnp.abs(gr).sum()) for p, gr in leaves
-                       if "ConvImageEncoder" in str(p))
+                       if "encoder" in str(p))
         gpt_norm = sum(float(jnp.abs(gr).sum()) for p, gr in leaves
                        if "VisionDiffusionGPT" in str(p))
         assert enc_norm > 0, "no gradient reaches the image encoder"
