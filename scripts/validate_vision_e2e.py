@@ -54,6 +54,10 @@ def main(argv=None):
     parser.add_argument("--freeze-encoder", action="store_true",
                         help="stop gradients into the (pretrained) encoder "
                              "during policy training")
+    parser.add_argument("--embed-size", type=int, default=48,
+                        help="image embedding width (the measured-negative "
+                             "studies localize the vision gap in this "
+                             "bottleneck; widen to test)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -96,6 +100,7 @@ def main(argv=None):
         scaler = ws.scaler
         model = KitchenVisionPolicyGPT(
             img_hw=(args.img, args.img), cond_mask_prob=0.1,
+            embed_size=args.embed_size,
             freeze_encoder=args.freeze_encoder, dtype=jnp.bfloat16)
         den = GCDenoiser(model, sigma_data=0.5)
         return _run(args, log, ws, scaler, den, k_init, k_train, k_eval,
@@ -115,6 +120,7 @@ def main(argv=None):
                             img_hw=(args.img, args.img), cond_mask_prob=0.1,
                             semantic=args.semantic,
                             goal_stack=args.goal_stack,
+                            embed_size=args.embed_size,
                             freeze_encoder=args.freeze_encoder,
                             dtype=jnp.bfloat16)
     den = GCDenoiser(model, sigma_data=0.5)
@@ -252,6 +258,7 @@ def _run(args, log, ws, scaler, den, k_init, k_train, k_eval, kitchen,
            "goal_stack": bool(args.goal_stack),
            "pretrain_steps": int(args.pretrain_steps),
            "freeze_encoder": bool(args.freeze_encoder),
+           "embed_size": int(args.embed_size),
            "vision_result": round(result, 3), "vision_reward": round(reward, 3),
            "train_steps_per_sec": round(args.train_steps / train_time, 1),
            "params": int(n_params)}
