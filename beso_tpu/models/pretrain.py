@@ -100,6 +100,11 @@ def pretrain_state_regression(
     lr: float = 1e-3,
     jitter_rel: float = 0.1,
     steps_per_call: int = 50,
+    target_fn: Callable[[jnp.ndarray], jnp.ndarray] = None,
+    weight_fn: Callable[[jnp.ndarray], jnp.ndarray] = None,
+    cosine_decay: bool = True,
+    std_floor: float = 1e-3,
+    jitter_std: np.ndarray = None,
 ):
     """Train `ConvImageEncoder` to regress the low-dim state from its own
     rendering.
@@ -107,40 +112,79 @@ def pretrain_state_regression(
     Args:
       states: [M, obs_dim] pool of ground-truth states (e.g. all demo
         observations). Targets are normalized per-dim by the pool's
-        mean/std.
+        (weighted) mean/std.
       render_fn: maps ONE [obs_dim] state to an [H, W, C] image (already
         background-subtracted the way the policy feeds its encoder).
       jitter_rel: gaussian state jitter as a fraction of the per-dim std,
         applied before BOTH the render and the target — densifies
         coverage beyond the demo manifold so the encoder stays accurate
         on off-distribution eval states.
+      target_fn: optional batched map [B, obs_dim] -> [B, target_dim] to a
+        SYMMETRY-ADAPTED regression target (e.g. yaw of a fourfold-
+        symmetric block as (cos 4y, sin 4y) — raw-angle regression has an
+        irreducible pi/2 ambiguity the render cannot resolve). Identity
+        by default.
+      weight_fn: optional batched map [B, obs_dim] -> [B, target_dim]
+        per-row loss weights; use 0 to mask target dims that are
+        out-of-frame/meaningless for that row (e.g. the far-plane 10.0
+        sentinel in goal-picture rows). All-ones by default.
+      cosine_decay: cosine-anneal the LR to lr/100 over `steps` (sharper
+        final localization than constant LR).
+      std_floor: normalization floor for near-constant target dims — a
+        dim whose pool std is below the floor would otherwise blow up the
+        normalized loss under any jitter.
+      jitter_std: optional ABSOLUTE per-dim jitter scale [obs_dim]
+        (overrides jitter_rel x pool-std — needed when sentinel values,
+        e.g. the 10.0 far plane in goal rows, inflate the raw pool std).
 
     Returns:
       (encoder_params, info) where `encoder_params` is the subtree to
       pass to `graft_encoder_params`, and `info` carries the final loss
-      and per-dim RMSE in ORIGINAL state units.
+      and per-dim weighted RMSE in target units (ORIGINAL state units
+      when `target_fn` is None).
     """
     states = np.asarray(states, np.float32)
     m, obs_dim = states.shape
-    mean = states.mean(axis=0)
-    std = np.maximum(states.std(axis=0), 1e-3)
+    if target_fn is None:
+        target_fn = lambda b: b  # noqa: E731
+    if weight_fn is None:
+        weight_fn = lambda b: jnp.ones_like(target_fn(b))  # noqa: E731
 
-    net = StateRegressionNet(obs_dim=obs_dim, embed_size=embed_size,
+    pool_t = np.asarray(target_fn(jnp.asarray(states)), np.float32)
+    pool_w = np.asarray(weight_fn(jnp.asarray(states)), np.float32)
+    wsum = np.maximum(pool_w.sum(axis=0), 1e-6)
+    mean = (pool_t * pool_w).sum(axis=0) / wsum
+    var = (pool_w * (pool_t - mean) ** 2).sum(axis=0) / wsum
+    std = np.maximum(np.sqrt(var), std_floor)
+    target_dim = pool_t.shape[-1]
+
+    net = StateRegressionNet(obs_dim=target_dim, embed_size=embed_size,
                              features=features, dtype=dtype)
     k_init, k_train = jax.random.split(key)
     img0 = jax.vmap(render_fn)(jnp.asarray(states[:2]))
     params = net.init(k_init, img0)
-    tx = optax.adam(lr)
+    if cosine_decay:
+        tx = optax.adam(optax.cosine_decay_schedule(lr, max(steps, 1), 0.01))
+    else:
+        tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     mean_j = jnp.asarray(mean)
     std_j = jnp.asarray(std)
+    if jitter_std is None:
+        jitter_std = jitter_rel * np.maximum(states.std(axis=0), 1e-3)
+    else:
+        jitter_std = np.asarray(jitter_std, np.float32)
+    apply_jitter = bool(np.any(jitter_std > 0))
+    state_jitter_j = jnp.asarray(jitter_std)  # absolute, state space
 
     def loss_fn(p, batch_states):
         imgs = jax.vmap(render_fn)(batch_states)
         pred = net.apply(p, imgs)
-        target = (batch_states - mean_j) / std_j
-        return jnp.mean((pred - target) ** 2)
+        target = (target_fn(batch_states) - mean_j) / std_j
+        w = weight_fn(batch_states)
+        return jnp.sum(w * (pred - target) ** 2) / jnp.maximum(
+            jnp.sum(w), 1e-6)
 
     # the pool rides in as a jit ARGUMENT (never a baked-in constant — the
     # remote-compile HTTP 413 rule) and `steps_per_call` updates fuse into
@@ -152,8 +196,8 @@ def pretrain_state_regression(
             k_idx, k_jit = jax.random.split(k)
             idx = jax.random.randint(k_idx, (batch_size,), 0, m)
             b = pool[idx]
-            if jitter_rel > 0.0:
-                b = b + jitter_rel * std_j * jax.random.normal(k_jit, b.shape)
+            if apply_jitter:
+                b = b + state_jitter_j * jax.random.normal(k_jit, b.shape)
             loss, grads = jax.value_and_grad(loss_fn)(p, b)
             updates, o = tx.update(grads, o, p)
             return (optax.apply_updates(p, updates), o), loss
@@ -171,13 +215,16 @@ def pretrain_state_regression(
         losses.append(np.asarray(ls))
     losses = np.concatenate(losses)
 
-    # held-in probe: per-dim RMSE in original units on a fresh slice
+    # held-in probe: per-dim weighted RMSE in target units on a fresh slice
     k_probe = jax.random.fold_in(k_train, 7)
     idx = jax.random.randint(k_probe, (min(512, m),), 0, m)
     probe = pool_dev[idx]
     pred = net.apply(params, jax.vmap(render_fn)(probe))
-    err = (pred * std_j + mean_j) - probe
-    rmse = np.asarray(jnp.sqrt(jnp.mean(err ** 2, axis=0)))
+    err = (pred * std_j + mean_j) - target_fn(probe)
+    w = weight_fn(probe)
+    rmse = np.asarray(jnp.sqrt(
+        jnp.sum(w * err ** 2, axis=0) / jnp.maximum(jnp.sum(w, axis=0),
+                                                    1e-6)))
 
     info = {
         "final_loss": float(losses[-10:].mean()),

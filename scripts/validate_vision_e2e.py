@@ -156,12 +156,40 @@ def _pretrain_encoder(args, log, ws, model, kitchen):
     obs = ws.full_data.observations
     lens = ws.full_data.lengths
     pool = np.concatenate([obs[i, :lens[i]] for i in range(obs.shape[0])])
+    target_fn = weight_fn = jitter_std = None
+    std_floor = 1e-3
     if not kitchen:
+        # jitter scale from the DEMO rows only (the 10.0 far sentinel in
+        # the goal rows would inflate a raw pool std); normalization floor
+        # at 1 cm so near-constant zone dims cannot blow up the loss
+        jitter_std = 0.1 * np.maximum(pool.std(axis=0), 1e-3)
+        std_floor = 0.01
         # the encoder also sees GOAL pictures at policy time: blocks kept,
         # every other dim pushed out of frame (vision_policy.py goal path)
         goal_rows = np.concatenate(
             [pool[:, :6], np.full((pool.shape[0], 10), 10.0, np.float32)], 1)
         pool = np.concatenate([pool, goal_rows])
+
+        # symmetry-adapted targets: the square block renders identically
+        # under pi/2 rotation, so yaw regresses as (cos 4y, sin 4y); the
+        # never-rendered effector_target dims (8:10) and the redundant
+        # target-zone yaws drop; out-of-frame dims (10.0 far sentinel in
+        # goal rows) are masked per row
+        def target_fn(b):
+            y1, y2 = 4.0 * b[..., 2:3], 4.0 * b[..., 5:6]
+            return jnp.concatenate(
+                [b[..., 0:2], jnp.cos(y1), jnp.sin(y1),
+                 b[..., 3:5], jnp.cos(y2), jnp.sin(y2),
+                 b[..., 6:8],                       # effector xy
+                 b[..., 10:12], b[..., 13:15]], -1)  # zone centers
+
+        def weight_fn(b):
+            vis = (jnp.abs(b) < 5.0).astype(jnp.float32)
+            ones = jnp.ones_like(b[..., 0:1])
+            return jnp.concatenate(
+                [ones, ones, ones, ones, ones, ones, ones, ones,
+                 vis[..., 6:8], vis[..., 10:12], vis[..., 13:15]], -1)
+
     rng = np.random.default_rng(args.seed)
     pool = pool[rng.permutation(pool.shape[0])[:200_000]]
 
@@ -170,7 +198,8 @@ def _pretrain_encoder(args, log, ws, model, kitchen):
         jax.random.PRNGKey(args.seed + 1), pool, render,
         embed_size=model.embed_size, features=model.enc_features,
         dtype=model.dtype, steps=args.pretrain_steps,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, target_fn=target_fn,
+        weight_fn=weight_fn, std_floor=std_floor, jitter_std=jitter_std)
     log.info("encoder pretraining: %d steps in %.1fs, loss %.4f -> %.4f, "
              "state RMSE (orig units) mean %.4f",
              args.pretrain_steps, time.time() - t0, info["first_loss"],

@@ -43,6 +43,36 @@ class TestPretrainStateRegression:
         flat = jax.tree_util.tree_leaves_with_path(enc)
         assert any("Conv" in str(p) for p, _ in flat)
 
+    def test_target_and_weight_fns(self):
+        """Symmetry-adapted targets + per-row masks: a blob whose position
+        encodes dim 0 only; dim 1 is pure noise but its weight is 0, so
+        the masked loss still converges and RMSE is reported per TARGET
+        dim (here 3: x, cos-ish, masked-noise)."""
+        from beso_tpu.models.pretrain import pretrain_state_regression
+
+        def render(o):
+            return _toy_render(jnp.stack([o[0], jnp.zeros(())]))
+
+        def target_fn(b):
+            return jnp.concatenate(
+                [b[..., 0:1], jnp.cos(b[..., 0:1]), b[..., 1:2]], -1)
+
+        def weight_fn(b):
+            ones = jnp.ones_like(b[..., 0:1])
+            return jnp.concatenate([ones, ones, 0.0 * ones], -1)
+
+        rng = np.random.default_rng(3)
+        pool = np.stack([rng.uniform(-0.8, 0.8, 256),
+                         rng.normal(0, 10.0, 256)], 1).astype(np.float32)
+        _, info = pretrain_state_regression(
+            jax.random.PRNGKey(3), pool, render, embed_size=8,
+            features=(8, 16), steps=200, batch_size=64, jitter_rel=0.0,
+            steps_per_call=50, target_fn=target_fn, weight_fn=weight_fn)
+        assert info["rmse_per_dim"].shape == (3,)
+        assert info["final_loss"] < info["first_loss"] * 0.5
+        # decodable dims converge; the masked dim contributes nothing
+        assert info["rmse_per_dim"][0] < 0.25
+
     def test_graft_replaces_exactly_the_encoder(self):
         from beso_tpu.models.pretrain import graft_encoder_params
 
