@@ -163,3 +163,44 @@ class TestFrozenEncoderPolicy:
                 == jax.tree_util.tree_structure(params))
         out = den.apply(grafted, s, a, g, sig)
         assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+    def test_pretrained_graft_into_kitchen_policy(self):
+        """Same graft path for KitchenVisionPolicyGPT (the 2.94/4
+        from-pixels configuration, RESULTS.md)."""
+        from beso_tpu.envs.kitchen.camera import render_kitchen_obs_rgb
+        from beso_tpu.models.denoiser import GCDenoiser
+        from beso_tpu.models.pretrain import (graft_encoder_params,
+                                              pretrain_state_regression)
+        from beso_tpu.models.vision_policy import KitchenVisionPolicyGPT
+
+        def render(o):
+            return render_kitchen_obs_rgb(o, 16, 16) - jnp.asarray(
+                [0.93, 0.93, 0.91])
+
+        rng = np.random.default_rng(2)
+        pool = rng.uniform(-0.2, 0.2, size=(64, 30)).astype(np.float32)
+        enc, _ = pretrain_state_regression(
+            jax.random.PRNGKey(2), pool, render, embed_size=8,
+            features=(4, 8), steps=2, batch_size=8, steps_per_call=2)
+
+        model = KitchenVisionPolicyGPT(
+            action_dim=9, embed_dim=24, n_layers=1, n_heads=2,
+            goal_seq_len=1, obs_seq_len=2, embed_size=8,
+            enc_features=(4, 8), img_hw=(16, 16), freeze_encoder=True)
+        den = GCDenoiser(model, sigma_data=0.5)
+        key = jax.random.PRNGKey(0)
+        s = jax.random.uniform(key, (2, 2, 30)) * 0.2
+        a = jax.random.normal(key, (2, 2, 9)) * 0.1
+        g = jax.random.uniform(key, (2, 1, 30)) * 0.2
+        sig = jnp.full((2,), 0.5)
+        params = den.init(key, s, a, g, sig)
+        grafted = graft_encoder_params(params, enc)
+        assert (jax.tree_util.tree_structure(grafted)
+                == jax.tree_util.tree_structure(params))
+        # frozen: one grad step leaves the grafted encoder untouched
+        grads = jax.grad(lambda p: den.loss(
+            p, s, a, g, jax.random.normal(key, a.shape), sig))(grafted)
+        enc_norm = sum(float(jnp.abs(gr).sum())
+                       for p, gr in jax.tree_util.tree_leaves_with_path(grads)
+                       if "encoder" in str(p))
+        assert enc_norm == 0.0
