@@ -185,7 +185,8 @@ class BesoAgent:
         action sample) and silently falls back to the full forward
         otherwise; 'cached' requires eligibility (raises if not);
         'fused_cached' additionally runs the suffix tokens through the
-        fused Pallas layers (models/fused.py; single device only);
+        fused Pallas layers (models/fused.py; multi-device serving wraps
+        the rollout in shard_map — rollout/sharded.py);
         'full' always uses the plain flax forward.
         """
         engine = self.cfg.inference_engine

@@ -264,7 +264,7 @@ def make_rollout_denoise_factory(den, params: Any, scaler, cfg,
                                 cfg.sigma_max, cfg.rho,
                                 cfg.noise_scheduler)[:-1]  # drop appended 0
 
-    use_fused = engine == "fused_cached" and jax.device_count() == 1
+    use_fused = engine == "fused_cached"
 
     def factory(goals_raw):
         g_s = scale_goal_for_model(scaler, jnp.asarray(goals_raw))
@@ -276,10 +276,14 @@ def make_rollout_denoise_factory(den, params: Any, scaler, cfg,
         else:
             g_model = g_s
         if use_fused:
-            # Pallas suffix layers on top of the prefix cache (single
-            # device only — the kernel is not validated under sharding).
-            # BESO_LAYER_GROUP=N runs N blocks per pallas_call (VERDICT
-            # r3 #7 measurement knob; default 1 = per-layer calls).
+            # Pallas suffix layers on top of the prefix cache. Multi-device
+            # serving runs this per shard under shard_map
+            # (rollout/sharded.py) — each device executes its own
+            # pallas_call on its env shard; plain jit over dp-SHARDED
+            # inputs is not a supported fused path (XLA cannot partition a
+            # pallas_call). BESO_LAYER_GROUP=N runs N blocks per
+            # pallas_call (VERDICT r3 #7 measurement knob; default 1 =
+            # per-layer calls).
             import os
 
             from beso_tpu.models.fused import make_fused_cached_denoise_fn

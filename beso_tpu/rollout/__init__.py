@@ -4,3 +4,7 @@ from beso_tpu.rollout.rollout import (
     rollout_kitchen,
     success_rate_histogram,
 )
+from beso_tpu.rollout.sharded import (
+    rollout_block_push_sharded,
+    rollout_kitchen_sharded,
+)

@@ -51,6 +51,14 @@ def main(argv=None):
     parser.add_argument("--lambda-sweep", action="store_true",
                         help="after training, evaluate the CFG guidance"
                              " sweep lambda in {0, 1, 1.5, 2, 2.5}")
+    parser.add_argument("--kettle-boost", type=float, default=0.0,
+                        help="kitchen only: probability of leading each demo"
+                             " sequence with the kettle (data-curriculum knob"
+                             " aimed at the measured weakest element)")
+    parser.add_argument("--eval-best-configs", action="store_true",
+                        help="after training, also evaluate the three best"
+                             " measured eval configs (euler+churn0.5,"
+                             " ddim+KDE-16, churn+KDE-16)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -75,7 +83,7 @@ def main(argv=None):
 
         data = generate_kitchen_demonstrations(
             k_demo, n_episodes=args.episodes, n_steps=max(args.demo_steps, 280),
-            play_style=args.play_style)
+            play_style=args.play_style, kettle_boost=args.kettle_boost)
     log.info("demos done in %.1fs (success label count %.2f/ep)",
              time.time() - t0, float(data.onehot_goals.sum()) / args.episodes)
 
@@ -128,6 +136,23 @@ def main(argv=None):
         "success_rates": {k: trained[k] for k in trained
                           if k.startswith("success_rate")},
     }
+
+    if args.eval_best_configs:
+        # the three best measured eval configs from the round-4 3-seed
+        # studies (RESULTS.md best-config table), evaluated on this run
+        best = {}
+        for label, kw in [
+            ("euler_churn0.5", dict(new_sampler_type="euler",
+                                    extra_args={"s_churn": 0.5})),
+            ("ddim_kde16", dict(get_mean=16, aggregation="kde")),
+            ("euler_churn0.5_kde16", dict(new_sampler_type="euler",
+                                          extra_args={"s_churn": 0.5},
+                                          get_mean=16, aggregation="kde")),
+        ]:
+            out = ws.test_agent(agent, key=k_eval, log_metrics=False, **kw)
+            best[label] = round(out["avrg_result"], 3)
+            log.info("eval config %s: result %.3f", label, out["avrg_result"])
+        summary["best_configs"] = best
 
     if args.lambda_sweep:
         # CFG guidance sweep (VERDICT r3 #2): with play-grade demos the

@@ -37,6 +37,7 @@ SLOW_TEST_MODULES = {
     "test_pretrain",
     "test_reference_parity",
     "test_rollout",
+    "test_sharded_rollout",
     "test_studies",
     "test_sweep",
     "test_train",
