@@ -69,6 +69,28 @@ def _rot(axis, theta, v):
 def element_scene_xml(e: int) -> str:
     """World-coordinate single-element scene: the element body at its pivot
     with its real axis/handle geometry + a mocap fingertip sphere."""
+    joint, geoms, body_pos = _element_body_parts(e)
+    return f"""
+<mujoco>
+  <option timestep="{1.0 / SUBSTEP_HZ}" integrator="implicitfast"
+          gravity="0 0 0"/>
+  <worldbody>
+    <body name="elem" pos="{body_pos[0]} {body_pos[1]} {body_pos[2]}">
+      {joint}
+      {''.join(geoms)}
+    </body>
+    <body name="finger" mocap="true" pos="0 0 0">
+      <geom type="sphere" size="{G.FINGER_RADIUS}" contype="1"
+            conaffinity="1" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _element_body_parts(e: int, jname: str = "elem"):
+    """The element's joint XML, geom XML list, and body position — shared by
+    the per-element calibration scenes and the round-5 FULL scene."""
     kind = int(G.ELEMENT_KIND[e])
     pivot = G.PIVOTS[e]
     axis = G.AXES[e]
@@ -77,9 +99,10 @@ def element_scene_xml(e: int) -> str:
     dyn = G.SCENE_DYNAMICS[G.ELEMENT_SCENE[e]]
     r_vec = h0 - pivot
 
+    hname = "handle" if jname == "elem" else f"handle_{jname}"
     geoms = []
     if kind == G.ROTARY:
-        joint = (f'<joint name="elem" type="hinge" '
+        joint = (f'<joint name="{jname}" type="hinge" '
                  f'axis="{axis[0]} {axis[1]} {axis[2]}" '
                  f'range="{rng[0]} {rng[1]}" '
                  + _DYN_FMT.format(**dyn) + '/>')
@@ -88,7 +111,7 @@ def element_scene_xml(e: int) -> str:
         if G.ELEMENT_SCENE[e] in ("knob", "lever"):
             # lever capsule from hub to tip
             geoms.append(
-                f'<geom name="handle" type="capsule" fromto="0 0 0 '
+                f'<geom name="{hname}" type="capsule" fromto="0 0 0 '
                 f'{r_vec[0]} {r_vec[1]} {r_vec[2]}" size="{G.BAR_RADIUS}" '
                 f'mass="{dyn["mass"]}"/>')
         else:
@@ -117,12 +140,12 @@ def element_scene_xml(e: int) -> str:
                 f'size="0.008" mass="0.02"/>')
             bd = G.BAR_DIRS[e] * G.BAR_HALFLEN[e]
             geoms.append(
-                f'<geom name="handle" type="capsule" '
+                f'<geom name="{hname}" type="capsule" '
                 f'fromto="{r_vec[0] - bd[0]} {r_vec[1] - bd[1]} '
                 f'{r_vec[2] - bd[2]} {r_vec[0] + bd[0]} {r_vec[1] + bd[1]} '
                 f'{r_vec[2] + bd[2]}" size="{G.BAR_RADIUS}" mass="0.1"/>')
     else:  # SLIDE
-        joint = (f'<joint name="elem" type="slide" '
+        joint = (f'<joint name="{jname}" type="slide" '
                  f'axis="{axis[0]} {axis[1]} {axis[2]}" '
                  f'range="{rng[0]} {rng[1]}" '
                  + _DYN_FMT.format(**dyn) + '/>')
@@ -134,27 +157,12 @@ def element_scene_xml(e: int) -> str:
                      'size="0.008" mass="0.02"/>')
         bd = G.BAR_DIRS[e] * G.BAR_HALFLEN[e]
         geoms.append(
-            f'<geom name="handle" type="capsule" fromto="{-bd[0]} {-bd[1]} '
+            f'<geom name="{hname}" type="capsule" fromto="{-bd[0]} {-bd[1]} '
             f'{-bd[2]} {bd[0]} {bd[1]} {bd[2]}" size="{G.BAR_RADIUS}" '
             f'mass="0.1"/>')
 
     body_pos = pivot if kind == G.ROTARY else h0
-    return f"""
-<mujoco>
-  <option timestep="{1.0 / SUBSTEP_HZ}" integrator="implicitfast"
-          gravity="0 0 0"/>
-  <worldbody>
-    <body name="elem" pos="{body_pos[0]} {body_pos[1]} {body_pos[2]}">
-      {joint}
-      {''.join(geoms)}
-    </body>
-    <body name="finger" mocap="true" pos="0 0 0">
-      <geom type="sphere" size="{G.FINGER_RADIUS}" contype="1"
-            conaffinity="1" mass="0.5"/>
-    </body>
-  </worldbody>
-</mujoco>
-"""
+    return joint, geoms, body_pos
 
 
 def _slab_component(r_in, axis):
@@ -202,10 +210,9 @@ def _drag_path(scene_xml, path, start):
     return np.asarray(out)
 
 
-def arc_drag(e: int, n_ctrl: int = 14, frac: float = 1.0,
-             radial_offset: float = 0.0):
-    """Drag the fingertip along the ideal handle arc toward the element's
-    goal joint value. Returns (q trajectory, swept finger angle)."""
+def _arc_stroke_path(e: int, n_ctrl: int = 14, frac: float = 1.0,
+                     radial_offset: float = 0.0):
+    """Ideal-stroke fingertip path for a rotary element: (f0, path, swept)."""
     from beso_tpu.envs.kitchen.env import GOAL_VEC, PRIMARY
 
     pivot, axis, h0 = G.PIVOTS[e], G.AXES[e], G.HANDLE0[e]
@@ -222,8 +229,16 @@ def arc_drag(e: int, n_ctrl: int = 14, frac: float = 1.0,
     f0 = h0 - sgn * tangent0 * gap + r_hat * radial_offset
     path = [pivot + _rot(ax, theta_goal * (i + 1) / n_ctrl, f0 - pivot)
             for i in range(n_ctrl)]
+    return f0, path, abs(theta_goal)
+
+
+def arc_drag(e: int, n_ctrl: int = 14, frac: float = 1.0,
+             radial_offset: float = 0.0):
+    """Drag the fingertip along the ideal handle arc toward the element's
+    goal joint value. Returns (q trajectory, swept finger angle)."""
+    f0, path, swept = _arc_stroke_path(e, n_ctrl, frac, radial_offset)
     q = _drag_path(element_scene_xml(e), path, f0)
-    return q, abs(theta_goal)
+    return q, swept
 
 
 def straight_drag(e: int, n_ctrl: int = 14, stroke_frac: float = 1.0):
@@ -248,8 +263,8 @@ def straight_drag(e: int, n_ctrl: int = 14, stroke_frac: float = 1.0):
     return _drag_path(element_scene_xml(e), path, f0)
 
 
-def slide_drag(n_ctrl: int = 14, radial_offset: float = 0.0):
-    """Slide cabinet: push the handle bar along the slide axis."""
+def _slide_stroke_path(n_ctrl: int = 14, radial_offset: float = 0.0):
+    """Ideal-stroke fingertip path for the slide cabinet: (f0, path, stroke)."""
     e = 3
     axis = G.AXES[e] / np.linalg.norm(G.AXES[e])
     h0 = G.HANDLE0[e]
@@ -260,7 +275,13 @@ def slide_drag(n_ctrl: int = 14, radial_offset: float = 0.0):
     off_dir = np.asarray([0.0, -1.0, 0.0])
     f0 = h0 - axis * gap + off_dir * radial_offset
     path = [f0 + axis * stroke * (i + 1) / n_ctrl for i in range(n_ctrl)]
-    q = _drag_path(element_scene_xml(e), path, f0)
+    return f0, path, stroke
+
+
+def slide_drag(n_ctrl: int = 14, radial_offset: float = 0.0):
+    """Slide cabinet: push the handle bar along the slide axis."""
+    f0, path, stroke = _slide_stroke_path(n_ctrl, radial_offset)
+    q = _drag_path(element_scene_xml(3), path, f0)
     return q, stroke
 
 
@@ -337,6 +358,176 @@ _KETTLE_SCENE = f"""
 # = 0.216. Pads at y=+-0.053 around the bar (radius 0.012).
 
 
+# ---------------------------------------------------------------------------
+# FULL scene (round 5, VERDICT r4 #8): every element composed into ONE
+# MuJoCo scene, plus the furniture volumes the surrogate's collision model
+# documents (wall plane, knob backsplash panel, microwave body, the raised
+# stove deck the kettle stands on) and the kettle as a static obstacle.
+# Validates what per-element calibration cannot: fingertip TRANSIT between
+# elements along real oracle routes (furniture clearance, cross-element
+# crosstalk) and stroke reproduction with every neighbor present.
+# ---------------------------------------------------------------------------
+
+# furniture AABBs (lo, hi) — the documented surrogate volumes
+# (env.py DEFAULT_KITCHEN_PARAMS wall_y/micro_lo/micro_hi + geometry.py
+# panel comments + the stove deck implied by the kettle rest height)
+FURNITURE_BOXES = {
+    "wall": (np.asarray([-1.0, 0.95, 0.4]), np.asarray([1.0, 1.05, 2.0])),
+    "knob_panel": (np.asarray([0.10, 0.92, 0.90]),
+                   np.asarray([0.50, 0.95, 1.45])),
+    "microwave_body": (np.asarray([-0.60, 0.80, 0.70]),
+                       np.asarray([-0.15, 1.30, 1.10])),
+    "stove_deck": (np.asarray([-0.45, 0.20, 1.50]),
+                   np.asarray([-0.05, 0.58, 1.56])),
+}
+KETTLE_POS = np.asarray([-0.269, 0.350, 1.619])   # INIT_QPOS[23:26]
+
+
+def full_scene_xml() -> str:
+    bodies = []
+    for e in range(6):
+        joint, geoms, body_pos = _element_body_parts(e, jname=f"j{e}")
+        bodies.append(
+            f'<body name="elem{e}" pos="{body_pos[0]} {body_pos[1]} '
+            f'{body_pos[2]}">{joint}{"".join(geoms)}</body>')
+    # furniture group: contype/conaffinity 2 — colliding with the finger
+    # (3) but not the elements (1), so element joints see exactly the
+    # contacts the per-element calibration measured
+    furn = []
+    for name, (lo, hi) in FURNITURE_BOXES.items():
+        c, s = (lo + hi) / 2, (hi - lo) / 2
+        furn.append(f'<geom name="{name}" type="box" pos="{c[0]} {c[1]} '
+                    f'{c[2]}" size="{s[0]} {s[1]} {s[2]}" contype="2" '
+                    f'conaffinity="2"/>')
+    furn.append(f'<geom name="kettle_body" type="cylinder" '
+                f'pos="{KETTLE_POS[0]} {KETTLE_POS[1]} {KETTLE_POS[2]}" '
+                f'size="0.07 0.06" contype="2" conaffinity="2"/>')
+    return f"""
+<mujoco>
+  <option timestep="{1.0 / SUBSTEP_HZ}" integrator="implicitfast"
+          gravity="0 0 0"/>
+  <worldbody>
+    {''.join(bodies)}
+    {''.join(furn)}
+    <body name="finger" mocap="true" pos="0 -0.4 1.2">
+      <geom name="fingertip" type="sphere" size="{G.FINGER_RADIUS}"
+            contype="3" conaffinity="3" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _aabb_distance(p, lo, hi):
+    """Distance from point p to an AABB (0 inside)."""
+    d = np.maximum(np.maximum(lo - p, 0.0), p - hi)
+    return float(np.linalg.norm(d))
+
+
+def _stroke_path(e: int, n_ctrl: int = 14):
+    if int(G.ELEMENT_KIND[e]) == G.SLIDE:
+        return _slide_stroke_path(n_ctrl)
+    return _arc_stroke_path(e, n_ctrl)
+
+
+def run_full_scene(out_path):
+    """Two-task routes in the FULL MuJoCo scene: the per-element IDEAL
+    stroke paths (the exact paths the per-element calibration measured)
+    joined by straight-line transits — the oracle's route shape. An
+    open-loop replay of the surrogate ORACLE's ee path is the wrong
+    protocol here (the oracle is a feedback policy: replayed open-loop in
+    a sim with different contact response it over/under-drives); what the
+    full scene can validate that per-element scenes cannot is
+    (a) fingertip-furniture clearance along real transit routes,
+    (b) cross-element crosstalk (the finger brushing neighbor handles the
+    surrogate does not model), and
+    (c) stroke reproduction with every neighbor body present, vs the
+    per-element golden trajectories (tests/golden/kitchen_mujoco_v2.npz)."""
+    import mujoco
+
+    names = ["bottom_burner", "top_burner", "light_switch", "slide_cabinet",
+             "hinge_cabinet", "microwave"]
+    golden = np.load(Path(out_path))
+    routes = [(5, 0), (4, 3), (2, 4), (3, 5), (0, 2), (1, 4)]
+    model = mujoco.MjModel.from_xml_string(full_scene_xml())
+    qadr = [model.jnt_qposadr[model.joint(f"j{e}").id] for e in range(6)]
+    finger_geom = model.geom("fingertip").id
+    handle_geoms = {model.geom(f"handle_j{e}").id: e for e in range(6)}
+    results = {}
+    print("=== full-scene two-task routes (ideal strokes + transits) ===")
+    n_ctrl = 14
+    for seq in routes:
+        f0_a, path_a, _ = _stroke_path(seq[0], n_ctrl)
+        f0_b, path_b, _ = _stroke_path(seq[1], n_ctrl)
+        # transit: straight line from stroke-A end to stroke-B start, at
+        # the oracle's reach speed (~0.05 m per control step)
+        end_a = np.asarray(path_a[-1], float)
+        n_transit = max(int(np.linalg.norm(f0_b - end_a) / 0.05), 4)
+        transit = [end_a + (f0_b - end_a) * (i + 1) / n_transit
+                   for i in range(n_transit)]
+        full_path = list(path_a) + transit + list(path_b)
+        seg = (["A"] * len(path_a) + ["T"] * len(transit)
+               + ["B"] * len(path_b))
+
+        data = mujoco.MjData(model)
+        pos = np.asarray(f0_a, float)
+        data.mocap_pos[0] = pos
+        mujoco.mj_forward(model, data)
+        mj_joints, clear, transit_contacts = [], [], set()
+        for tgt, s_tag in zip(full_path, seg):
+            for s in range(SUB):
+                frac = (s + 1) / SUB
+                data.mocap_pos[0] = pos + (np.asarray(tgt) - pos) * frac
+                mujoco.mj_step(model, data)
+                if s_tag == "T":
+                    for ci in range(data.ncon):
+                        g1, g2 = data.contact[ci].geom1, data.contact[ci].geom2
+                        if finger_geom in (g1, g2):
+                            other = g2 if g1 == finger_geom else g1
+                            nm = mujoco.mj_id2name(
+                                model, mujoco.mjtObj.mjOBJ_GEOM, other)
+                            transit_contacts.add(nm or f"geom{other}")
+            pos = np.asarray(tgt, float)
+            mj_joints.append([data.qpos[a] for a in qadr])
+            clear.append(min(_aabb_distance(pos, lo, hi)
+                             for lo, hi in FURNITURE_BOXES.values()))
+        mj_joints = np.asarray(mj_joints)
+        clear = np.asarray(clear)
+        tag = f"{names[seq[0]]}->{names[seq[1]]}"
+
+        # stroke reproduction vs the per-element golden trajectory
+        rows = []
+        for k, e in enumerate(seq):
+            g = golden[f"arc_{names[e]}"]
+            lo = k * 0  # stroke A occupies rows [0, n_ctrl)
+            sl = (slice(0, n_ctrl) if k == 0
+                  else slice(len(path_a) + n_transit, None))
+            q = mj_joints[sl, e]
+            final_ratio = q[-1] / g[-1] if abs(g[-1]) > 1e-9 else 0.0
+            rows.append((e, float(q[-1]), float(g[-1]), float(final_ratio)))
+        others_a = [e for e in range(6) if e != seq[0]]
+        # crosstalk: other elements moved DURING this route beyond where
+        # the route's own strokes put them (exclude both driven elements)
+        spect = [e for e in range(6) if e not in seq]
+        crosstalk = float(np.abs(mj_joints[:, spect]).max())
+        print(f"  {tag}: min furniture clearance {clear.min()*1000:.0f} mm | "
+              f"spectator crosstalk {crosstalk:.4f} | transit contacts "
+              f"{sorted(transit_contacts) or '-'}")
+        for e, mjf, gf, ratio in rows:
+            print(f"    {names[e]:15s} full-scene final {mjf:+.3f} vs "
+                  f"per-element golden {gf:+.3f} (ratio {ratio:.3f})")
+        results[f"route_{tag}__mj"] = mj_joints
+        results[f"route_{tag}__clear"] = clear
+        results[f"route_{tag}__finals"] = np.asarray(
+            [[r[1], r[2]] for r in rows])
+        results[f"route_{tag}__crosstalk"] = np.asarray([crosstalk])
+        results[f"route_{tag}__n_transit_contacts"] = np.asarray(
+            [len(transit_contacts)], np.int32)
+    out = Path(out_path).with_name("kitchen_full_scene.npz")
+    np.savez(out, **results)
+    print(f"wrote {out}")
+
+
 def kettle_grasp_run(drag_vec, n_ctrl=10, lateral_offset=0.0, yank=False):
     """Close the actuated gripper on the kettle handle, LIFT the kettle off
     the counter, then command the hand through `drag_vec` (xy, meters) over
@@ -388,7 +579,15 @@ def main(argv=None):
     parser.add_argument("--out", default=str(
         Path(__file__).resolve().parents[1] / "tests" / "golden" /
         "kitchen_mujoco_v2.npz"))
+    parser.add_argument("--full-scene", action="store_true",
+                        help="replay surrogate-oracle two-task routes in "
+                             "the all-elements scene (transit clearance, "
+                             "crosstalk, stroke reproduction)")
     args = parser.parse_args(argv)
+
+    if args.full_scene:
+        run_full_scene(args.out)
+        return
 
     results = {}
     names = ["bottom_burner", "top_burner", "light_switch", "slide_cabinet",

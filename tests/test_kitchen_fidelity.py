@@ -183,3 +183,57 @@ class TestSlipBehavior:
         assert q_arc < -0.6, f"arc-following drag failed to open: {q_arc}"
         assert abs(q_straight) < 0.5 * abs(q_arc), \
             f"straight pull did not slip: {q_straight} vs arc {q_arc}"
+
+
+class TestFullScene:
+    """Full-scene golden validation (round 5, VERDICT r4 #8): all six
+    articulated elements + furniture volumes + kettle composed into ONE
+    MuJoCo scene (scripts/calibrate_kitchen.py --full-scene), two-task
+    oracle-shaped routes (ideal stroke + straight transit + ideal stroke)
+    replayed through it. Pins what per-element calibration cannot see:
+    transit clearance to furniture, cross-element crosstalk, and stroke
+    reproduction with every neighbor body present."""
+
+    FULL = Path(__file__).parent / "golden" / "kitchen_full_scene.npz"
+
+    @pytest.fixture(scope="class")
+    def full(self):
+        assert self.FULL.exists(), \
+            "run scripts/calibrate_kitchen.py --full-scene"
+        return np.load(self.FULL)
+
+    def test_strokes_reproduce_with_neighbors_present(self, full):
+        """Each element's full-scene stroke matches its per-element golden
+        final value within 3% — neighbor bodies do not change the
+        articulation physics the surrogate calibrated per-element."""
+        for k in full.files:
+            if k.endswith("__finals"):
+                finals = full[k]            # [2, (full_scene, per_element)]
+                for mjf, gf in finals:
+                    assert abs(mjf - gf) <= 0.03 * max(abs(gf), 1e-9), \
+                        f"{k}: {mjf} vs per-element {gf}"
+
+    def test_transit_clearance_positive(self, full):
+        """No oracle route dips inside a furniture volume (wall, knob
+        panel, microwave body, stove deck): min clearance >= 10 mm on
+        every measured route."""
+        for k in full.files:
+            if k.endswith("__clear"):
+                assert float(full[k].min()) >= 0.010, \
+                    f"{k}: min clearance {full[k].min()*1000:.0f} mm"
+
+    def test_crosstalk_below_completion_threshold(self, full):
+        """Measured cross-element crosstalk (the hinge door sweeping the
+        light switch at 0.211 rad; a transit brushing the top burner at
+        0.143 rad) stays below BONUS_THRESH=0.3 — the full scene produces
+        no phantom task completions the surrogate would miss. This is a
+        DOCUMENTED BAND CHECK: the surrogate models elements as
+        independent; the real scene couples them by up to ~0.21 rad."""
+        from beso_tpu.envs.kitchen.env import BONUS_THRESH
+
+        thresh = float(np.min(np.asarray(BONUS_THRESH))) \
+            if np.ndim(BONUS_THRESH) else float(BONUS_THRESH)
+        for k in full.files:
+            if k.endswith("__crosstalk"):
+                assert float(full[k][0]) < thresh, \
+                    f"{k}: crosstalk {full[k][0]} >= {thresh}"
