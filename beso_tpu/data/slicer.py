@@ -73,6 +73,27 @@ class SlicedDataset:
     def __len__(self) -> int:
         return int(self.slices.shape[0])
 
+    def device_arrays(self) -> dict:
+        """The dataset's device-resident arrays, as a pytree. Pass these as
+        jit ARGUMENTS (rebinding with `with_arrays`) instead of closing
+        over the dataset inside a jitted function: closure arrays become
+        compile-payload constants, and on a remote-compile backend a
+        multi-hundred-MB dataset overflows the request (HTTP 413) — the
+        argument path ships them once as device buffers."""
+        return {"slices": self.slices, "observations": self.observations,
+                "actions": self.actions, "lengths": self.lengths}
+
+    def with_arrays(self, arrays: dict) -> "SlicedDataset":
+        """Shallow rebind of the device arrays (see `device_arrays`)."""
+        import copy
+
+        ds = copy.copy(self)
+        ds.slices = arrays["slices"]
+        ds.observations = arrays["observations"]
+        ds.actions = arrays["actions"]
+        ds.lengths = arrays["lengths"]
+        return ds
+
     def _gather(self, slice_idx: jnp.ndarray, goal_key) -> dict:
         traj = self.slices[slice_idx, 0]           # [B]
         start = self.slices[slice_idx, 1]          # [B]

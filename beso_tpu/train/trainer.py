@@ -137,18 +137,27 @@ def make_fused_train_steps(
     step_fn = make_train_step(denoiser, optimizer, sample_density, scaler,
                               **kwargs)
 
+    # the dataset arrays ride as jit ARGUMENTS, not closure constants: a
+    # large demo set closed over would enter the compile payload and
+    # overflow the remote-compile request (HTTP 413 at ~8k kitchen demos)
+    arrays = (train_sampler.device_arrays()
+              if hasattr(train_sampler, "device_arrays") else None)
+
     @jax.jit
-    def fused(ts: TrainState, key):
+    def fused(ts: TrainState, key, arrs):
+        sampler = (train_sampler.with_arrays(arrs) if arrs is not None
+                   else train_sampler)
+
         def body(ts, k):
             k_batch, k_step = jax.random.split(k)
-            batch = train_sampler.sample_batch(k_batch, batch_size)
+            batch = sampler.sample_batch(k_batch, batch_size)
             return step_fn(ts, batch, k_step)
 
         keys = jax.random.split(key, n_steps)
         ts, losses = jax.lax.scan(body, ts, keys)
         return ts, losses
 
-    return fused
+    return lambda ts, key: fused(ts, key, arrays)
 
 
 def evaluate_mse(

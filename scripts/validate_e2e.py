@@ -55,6 +55,9 @@ def main(argv=None):
                         help="kitchen only: probability of leading each demo"
                              " sequence with the kettle (data-curriculum knob"
                              " aimed at the measured weakest element)")
+    parser.add_argument("--eval-nfe-sweep", action="store_true",
+                        help="after training, evaluate ddim at NFE "
+                             "{3, 5, 8, 16} (eval-config lever)")
     parser.add_argument("--eval-best-configs", action="store_true",
                         help="after training, also evaluate the three best"
                              " measured eval configs (euler+churn0.5,"
@@ -153,6 +156,15 @@ def main(argv=None):
             best[label] = round(out["avrg_result"], 3)
             log.info("eval config %s: result %.3f", label, out["avrg_result"])
         summary["best_configs"] = best
+
+    if getattr(args, "eval_nfe_sweep", False):
+        nfe = {}
+        for n in (3, 5, 8, 16):
+            out = ws.test_agent(agent, key=k_eval, log_metrics=False,
+                                n_inference_steps=n)
+            nfe[str(n)] = round(out["avrg_result"], 3)
+            log.info("NFE %d: result %.3f", n, out["avrg_result"])
+        summary["nfe_sweep"] = nfe
 
     if args.lambda_sweep:
         # CFG guidance sweep (VERDICT r3 #2): with play-grade demos the

@@ -58,6 +58,11 @@ def main(argv=None):
                         help="image embedding width (the measured-negative "
                              "studies localize the vision gap in this "
                              "bottleneck; widen to test)")
+    parser.add_argument("--probe-only", action="store_true",
+                        help="run ONLY the encoder state-regression "
+                             "pretrain probe and print its per-dim RMSE "
+                             "(cheap resolution diagnostics before a full "
+                             "policy run — VERDICT r4 #2)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -231,6 +236,18 @@ def _run(args, log, ws, scaler, den, k_init, k_train, k_eval, kitchen,
     ts = trainer.init_state(k_init, ws.train_set.sample_batch(k_init, 8))
     n_params = sum(x.size for x in jax.tree.leaves(ts.params))
     log.info("vision policy: %d params", n_params)
+
+    if getattr(args, "probe_only", False):
+        if args.pretrain_steps <= 0:
+            raise SystemExit("--probe-only needs --pretrain-steps > 0")
+        _, info = _pretrain_encoder(args, log, ws, model, kitchen)
+        out = {"env": args.env, "img": int(args.img), "probe_only": True,
+               "pretrain_steps": int(args.pretrain_steps),
+               "pretrain_rmse_mean": round(info["rmse_mean"], 4),
+               "rmse_per_dim": [round(float(v), 4)
+                                for v in info["rmse_per_dim"]]}
+        print(json.dumps(out))
+        return out
 
     pretrain_info = None
     if args.pretrain_steps > 0:
