@@ -165,6 +165,89 @@ def run_jax(scn, k2=None):
     return np.asarray(rollout(state, jnp.asarray(offsets, jnp.float32), k2))
 
 
+def _mk_state(b0, yaw0, b1, eff0):
+    import jax.numpy as jnp
+
+    import beso_tpu.envs.block_push.env as bpe
+
+    return bpe.BlockPushState(
+        effector=jnp.asarray(eff0), effector_target=jnp.asarray(eff0),
+        block_pos=jnp.asarray([b0, b1]), block_yaw=jnp.asarray([yaw0, 0.0]),
+        target_pos=jnp.asarray([[0.28, 0.2], [0.52, 0.2]]),
+        target_yaw=jnp.asarray([np.pi, np.pi]),
+        in_target=jnp.zeros((2, 2), bool), completed=jnp.zeros((4,), bool),
+        done=jnp.asarray(False), steps=jnp.zeros((), jnp.int32))
+
+
+def run_jax_batch(scns):
+    """All scenarios in ONE vmapped jit (the sweep re-traces per constant
+    set; per-scenario re-jits would cost ~3 s compile each)."""
+    import jax
+    import jax.numpy as jnp
+
+    import beso_tpu.envs.block_push.env as bpe
+
+    states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[_mk_state(s[1], s[2], s[3], s[4]) for s in scns])
+    offs = jnp.asarray([s[5] for s in scns], jnp.float32)
+
+    def one(state, offsets):
+        def body(s, a):
+            s, obs, _, _ = bpe.block_push_step(s, a)
+            return s, obs[:5]
+        _, traj = jax.lax.scan(body, state, offsets)
+        return traj
+
+    return np.asarray(jax.jit(jax.vmap(one))(states, offs))
+
+
+def run_rot_sweep(args):
+    """Sweep the ROTATIONAL legs of the contact model (VERDICT r4 #4a):
+    pusher tangential friction CONTACT_MU, ground corner-point arm scale,
+    and the tip-torque leak (fraction of the above-plateau contact force
+    coupled into yaw torque). Scores each combo on the stable-5 scripted
+    RMSE (target: yaw <= 10 deg with pos <= 6 mm held) AND the 48-push
+    randomized-ensemble statistics vs the stored MuJoCo bands."""
+    import jax.numpy as jnp
+
+    import beso_tpu.envs.block_push.env as bpe
+
+    golden = np.load(args.out)
+    ens_mj = np.load(Path(args.out).with_name("block_push_mujoco_ensemble.npz"))
+    stable = [s for s in _scenarios() if s[0] in STABLE_SCENARIOS]
+    ens = ensemble_scenarios(48)
+    base_pts = np.asarray(bpe._GROUND_PTS)
+
+    def score(label):
+        jx = run_jax_batch(stable)
+        tp = ty = 0.0
+        for s, t in zip(stable, jx):
+            p, y = error(golden[s[0]], t)
+            tp += p
+            ty += y
+        tp, ty = tp / len(stable) * 1000, np.degrees(ty / len(stable))
+        ej = run_jax_batch(ens)
+        d_par, d_perp, d_yaw = ensemble_stats(list(ej))
+        ok = "<=OK=>" if (ty <= 10.0 and tp <= 6.0) else "      "
+        print(f"{ok} {label}: stable pos {tp:5.1f} mm yaw {ty:5.1f} deg | "
+              f"ens par {d_par.mean()*1000:5.1f} perp "
+              f"{np.abs(d_perp).mean()*1000:5.1f} "
+              f"|dyaw| {np.degrees(d_yaw.mean()):5.1f} "
+              f"(mj {ens_mj['d_par'].mean()*1000:.1f}/"
+              f"{np.abs(ens_mj['d_perp']).mean()*1000:.1f}/"
+              f"{np.degrees(ens_mj['d_yaw'].mean()):.1f})")
+
+    import itertools
+    mus = [0.02, 0.05, 0.1, 0.2]
+    arms = [1.0, 1.25, 1.5]
+    tleaks = [0.0, 0.1]
+    for mu, arm, tleak in itertools.product(mus, arms, tleaks):
+        bpe.CONTACT_MU = mu
+        bpe.TIP_TORQUE_LEAK = tleak
+        bpe._GROUND_PTS = jnp.asarray(base_pts * arm)
+        score(f"mu={mu:<4} arm={arm:<4} tq_leak={tleak}")
+
+
 def wrap_angle(a):
     return (a + np.pi) % (2 * np.pi) - np.pi
 
@@ -259,23 +342,78 @@ def run_burst(dx=0.01):
                   f"{data.qvel[5]:6.2f} | {data.qpos[2]:.4f} | {nc}  {fn:.2f}")
 
 
-def run_dispersion(n=8, seed=1):
-    """MuJoCo final-state dispersion of each scripted scenario under
-    +-0.5 mm initial block perturbation — separates the STABLE scenarios
-    (pointwise-matchable) from the CHAOTIC ones (band-matchable only)."""
+def _perturbed(scn, perts):
+    name, b0, yaw0, b1, eff0, offsets = scn
+    return [(name, (b0[0] + p[0], b0[1] + p[1]), yaw0, b1, eff0, offsets)
+            for p in perts]
+
+
+def _fmt_band(f):
+    return (f"x {f[:, 0].mean():.3f}+-{f[:, 0].std()*1000:5.1f}mm "
+            f"y {f[:, 1].mean():.3f}+-{f[:, 1].std()*1000:5.1f}mm "
+            f"yaw {np.degrees(f[:, 2].mean()):6.1f}"
+            f"+-{np.degrees(f[:, 2].std()):5.1f}deg")
+
+
+def run_dispersion(n=8, seed=1, jax_side=False, mujoco_side=True):
+    """Final-state dispersion of each scripted scenario under +-0.5 mm
+    initial block perturbation — separates the STABLE scenarios
+    (pointwise-matchable) from the CHAOTIC ones (band-matchable only).
+    With `jax_side`, prints the JAX model's band next to MuJoCo's: the
+    chaotic scenarios are judged on mean AND dispersion (VERDICT r4 #4b)."""
     rng = np.random.default_rng(seed)
     perts = rng.uniform(-5e-4, 5e-4, (n, 2))
     for scn in _scenarios():
-        name, b0, yaw0, b1, eff0, offsets = scn
-        finals = []
-        for p in perts:
-            s2 = (name, (b0[0] + p[0], b0[1] + p[1]), yaw0, b1, eff0, offsets)
-            finals.append(run_mujoco(s2)[-1, :3])
-        f = np.asarray(finals)
+        name = scn[0]
         tag = "stable " if name in STABLE_SCENARIOS else "CHAOTIC"
-        print(f"{tag} {name:18s} x {f[:, 0].mean():.3f}+-{f[:, 0].std()*1000:5.1f}mm "
-              f"y {f[:, 1].mean():.3f}+-{f[:, 1].std()*1000:5.1f}mm "
-              f"yaw {np.degrees(f[:, 2].mean()):6.1f}+-{np.degrees(f[:, 2].std()):5.1f}deg")
+        if mujoco_side:
+            f = np.asarray([run_mujoco(s)[-1, :3] for s in _perturbed(scn, perts)])
+            print(f"{tag} {name:18s} mj  {_fmt_band(f)}")
+        if jax_side:
+            fj = run_jax_batch(_perturbed(scn, perts))[:, -1, :3]
+            print(f"{tag} {name:18s} jax {_fmt_band(fj)}")
+
+
+def run_dither_sweep(n=16, seed=1):
+    """Sweep CONTACT_DITHER against the chaotic scenarios' MuJoCo
+    self-dispersion bands (mean AND std must land inside; VERDICT r4 #4b),
+    with the stable-5 RMSE re-checked at each magnitude."""
+    import beso_tpu.envs.block_push.env as bpe
+
+    rng = np.random.default_rng(seed)
+    perts = rng.uniform(-5e-4, 5e-4, (n, 2))
+    chaotic = [s for s in _scenarios() if s[0] not in STABLE_SCENARIOS]
+    stable = [s for s in _scenarios() if s[0] in STABLE_SCENARIOS]
+    golden = np.load(Path(__file__).resolve().parents[1] / "tests" /
+                     "golden" / "block_push_mujoco.npz")
+    print("MuJoCo bands (n=%d):" % n)
+    mj_bands = {}
+    for scn in chaotic:
+        f = np.asarray([run_mujoco(s)[-1, :3] for s in _perturbed(scn, perts)])
+        mj_bands[scn[0]] = f
+        print(f"  {scn[0]:18s} {_fmt_band(f)}")
+    import itertools
+    for stiff, ang, bba in itertools.product((4.0, 6.0, 8.0),
+                                             (0.05, 0.1), (0.0, 0.1)):
+        bpe.CONTACT_DITHER = 0.0
+        bpe.BACKED_STIFF = stiff
+        bpe.DITHER_ANG = ang
+        bpe.BB_DITHER_ANG = bba
+        rows = []
+        for scn in chaotic:
+            fj = run_jax_batch(_perturbed(scn, perts))[:, -1, :3]
+            rows.append(f"  {scn[0]:18s} {_fmt_band(fj)}")
+        jx = run_jax_batch(stable)
+        tp = ty = 0.0
+        for s, t in zip(stable, jx):
+            p, y = error(golden[s[0]], t)
+            tp += p
+            ty += y
+        print(f"stiff={stiff:g} ang={ang:g} bba={bba:g} (stable-5 pos "
+              f"{tp/len(stable)*1000:.1f} mm "
+              f"yaw {np.degrees(ty/len(stable)):.1f} deg)")
+        for r in rows:
+            print(r)
 
 
 def main(argv=None):
@@ -292,13 +430,29 @@ def main(argv=None):
                         help="per-substep instrumented burst trace")
     parser.add_argument("--dispersion", action="store_true",
                         help="MuJoCo self-dispersion of each scenario")
+    parser.add_argument("--rot-sweep", action="store_true",
+                        help="sweep the contact model's rotational legs "
+                             "(CONTACT_MU, ground arm, tip-torque leak) "
+                             "against the stored golden data")
+    parser.add_argument("--dither-sweep", action="store_true",
+                        help="sweep CONTACT_DITHER against the chaotic "
+                             "scenarios' MuJoCo dispersion bands")
+    parser.add_argument("--jax-dispersion", action="store_true",
+                        help="print the JAX dispersion bands next to "
+                             "MuJoCo's")
     args = parser.parse_args(argv)
 
     if args.burst:
         run_burst()
         return
-    if args.dispersion:
-        run_dispersion()
+    if args.dispersion or args.jax_dispersion:
+        run_dispersion(jax_side=args.jax_dispersion)
+        return
+    if args.rot_sweep:
+        run_rot_sweep(args)
+        return
+    if args.dither_sweep:
+        run_dither_sweep()
         return
 
     if args.ensemble:

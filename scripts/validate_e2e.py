@@ -58,6 +58,9 @@ def main(argv=None):
     parser.add_argument("--eval-nfe-sweep", action="store_true",
                         help="after training, evaluate ddim at NFE "
                              "{3, 5, 8, 16} (eval-config lever)")
+    parser.add_argument("--eval-kde-sweep", action="store_true",
+                        help="after training, sweep KDE action-selection "
+                             "width {8, 16, 32, 64} under euler churn 0.5")
     parser.add_argument("--eval-best-configs", action="store_true",
                         help="after training, also evaluate the three best"
                              " measured eval configs (euler+churn0.5,"
@@ -156,6 +159,18 @@ def main(argv=None):
             best[label] = round(out["avrg_result"], 3)
             log.info("eval config %s: result %.3f", label, out["avrg_result"])
         summary["best_configs"] = best
+
+    if getattr(args, "eval_kde_sweep", False):
+        kde = {}
+        for n in (8, 16, 32, 64):
+            out = ws.test_agent(agent, key=k_eval, log_metrics=False,
+                                new_sampler_type="euler",
+                                extra_args={"s_churn": 0.5},
+                                get_mean=n, aggregation="kde")
+            kde[str(n)] = round(out["avrg_result"], 3)
+            log.info("KDE %d (euler churn 0.5): result %.3f", n,
+                     out["avrg_result"])
+        summary["kde_sweep"] = kde
 
     if getattr(args, "eval_nfe_sweep", False):
         nfe = {}
