@@ -123,6 +123,7 @@ class TestStableScripted:
             f"yaw RMSE {np.degrees(ty/len(STABLE)):.1f}deg"
 
 
+@pytest.mark.slow
 class TestEnsembleBands:
     """Ensemble statistics stay within the calibrated fidelity bands
     (MuJoCo golden n=32: parallel 26.6 mm, |perp| 25.6 mm, |dyaw|

@@ -2,6 +2,7 @@
 formats -> our loaders."""
 
 import numpy as np
+import pytest
 
 from beso_tpu.data.export import export_multimodal_push, export_relay_kitchen
 from beso_tpu.data.trajectories import (
@@ -37,6 +38,7 @@ class TestExportRoundtrip:
                                    atol=1e-6)
         np.testing.assert_array_equal(back.lengths, data.lengths)
 
+    @pytest.mark.slow
     def test_generate_demos_cli(self, tmp_path):
         import scripts.generate_demos as gd
 

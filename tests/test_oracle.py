@@ -1,6 +1,7 @@
 """Scripted-oracle tests: success in the JAX sim + demo-data generation."""
 
 import jax
+import pytest
 import numpy as np
 
 from beso_tpu.envs.block_push.oracle import (
@@ -13,6 +14,7 @@ from beso_tpu.envs.block_push.oracle import (
 
 
 class TestOracle:
+    @pytest.mark.slow
     def test_high_success_rate(self):
         """The scripted pusher must solve both blocks in most episodes —
         this is the end-to-end validation that the quasi-static physics is
@@ -31,6 +33,7 @@ class TestOracle:
         assert 0 < orders.mean() < 1
         assert 0 < assigns.mean() < 1
 
+    @pytest.mark.slow
     def test_demo_dataset_format(self):
         data = generate_demonstrations(jax.random.PRNGKey(2), n_episodes=8,
                                        n_steps=200)
