@@ -150,8 +150,17 @@ def bench_block_push():
                                       n_steps=n_steps)
 
         def noop_step_cheap(s, a):
+            # two DCE traps guarded here: (a) a step that ignores `a` lets
+            # XLA dead-code-eliminate the entire denoise scan, so the
+            # action is folded into the carried effector; (b) _time_best
+            # forces only `.rewards`, so a CONSTANT reward dead-codes the
+            # whole program anyway — the reward must read live state
+            # (measured: with r=0 the "no physics" run timed ~0.4 ms and
+            # physics_frac came out 0.996 alongside model_frac 0.49)
+            s = s._replace(effector=s.effector + a)
             o = block_push_obs(s)
-            return s, o, jnp.zeros(()), jnp.zeros((), bool)
+            r = 1e-9 * (s.effector[0] - s.effector[1])
+            return s, o, r, jnp.zeros((), bool)
 
         @jax.jit
         def run_nophysics(k):
