@@ -228,7 +228,9 @@ def bench_train():
     dev = jax.devices()[0]
     platform = dev.platform
     batch = 1024 if platform != "cpu" else 64
-    chunk = 50 if platform != "cpu" else 4
+    # 200-step device programs: measured +6.6% over 50 at batch 1024
+    # (scripts/profile_train.py --scaling, RESULTS.md round 5)
+    chunk = 200 if platform != "cpu" else 4
 
     model = DiffusionGPT(state_dim=30, action_dim=9, embed_dim=360,
                          n_layers=6, n_heads=6, goal_seq_len=2, obs_seq_len=4,

@@ -208,7 +208,10 @@ class Trainer:
     checkpoint_dir: Optional[str] = None
     log_every: int = 1000
     metrics_writer: Any = None
-    fused_steps: int = 50  # train steps per device program (latency hiding)
+    fused_steps: int = 200  # train steps per device program (dispatch
+    # amortization: 200 measured +6.6% steps/s over 50 at batch 1024 on
+    # v5e — scripts/profile_train.py --scaling; clamped to
+    # eval_every_n_steps below)
 
     def init_state(self, key, sample_batch: dict) -> TrainState:
         state_t, action_t, goal_t = process_batch(sample_batch, self.scaler)
