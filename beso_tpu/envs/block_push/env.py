@@ -201,6 +201,11 @@ DITHER_ANG = 0.08
 # touching blocks pitch-rock. Rides the same state-hash stream as the
 # pusher dithers.
 BB_DITHER_ANG = 0.08
+# Block-block contact geometry: True = 2-point box-box manifold
+# (_box_box_manifold — transmits contact torque, damping the relative
+# spin of a shedding train); False = the single-point symmetric
+# box-vs-disk pair it replaced (kept for A/B measurement).
+BB_BOX_BOX = True
 # Ground friction: the box-on-plane contact discretized at the 4 FACE
 # CORNERS (+-half, +-half), each carrying m g / 4 — exactly where MuJoCo
 # places the box-plane contact points in the golden scene. The corner
@@ -376,6 +381,66 @@ def _box_point_geom(block_pos, block_yaw, point, radius,
     return pen, n_in, clamped, R
 
 
+def _box_box_manifold(pos_a, yaw_a, pos_b, yaw_b, half):
+    """Two-point contact manifold between two oriented squares of
+    half-extent `half` — 2-D SAT reference-face selection + incident-face
+    clipping (the classic Box2D box-box algorithm, planarized).
+
+    Round-5 upgrade over the box-vs-disk pair: a SINGLE-point block-block
+    contact cannot resist relative yaw, so a shedding two-block train
+    spun ~2.4x wilder than MuJoCo's box-box train (RESULTS round 5:
+    block_into_block yaw std 28.3 vs 11.8 deg at n=64). A 2-point face
+    manifold transmits the contact torque that damps relative spin while
+    keeping the face-normal geometry whose positive feedback lets a
+    rotated train shed (the round-5 fix for the r4 train stall).
+
+    Returns (pen[2], n[2], pts[2,2], live[2]): up to two world-frame
+    contact points with a shared unit normal pointing from box A toward
+    box B; a point is active iff `live[k]` (pen already folded in).
+    """
+    Ra, Rb = _rot(yaw_a), _rot(yaw_b)
+    d = pos_b - pos_a
+    axes = jnp.stack([Ra[:, 0], Ra[:, 1], Rb[:, 0], Rb[:, 1]])   # [4, 2]
+    ra = half * (jnp.abs(axes @ Ra[:, 0]) + jnp.abs(axes @ Ra[:, 1]))
+    rb = half * (jnp.abs(axes @ Rb[:, 0]) + jnp.abs(axes @ Rb[:, 1]))
+    sep = jnp.abs(axes @ d) - (ra + rb)              # < 0 on overlap
+    overlap = jnp.all(sep < 0)
+    k = jnp.argmax(sep)                              # minimal penetration
+    axis = axes[k]
+    n = axis * jnp.where(jnp.dot(axis, d) >= 0, 1.0, -1.0)      # A -> B
+    a_is_ref = k < 2
+    pos_ref = jnp.where(a_is_ref, pos_a, pos_b)
+    pos_inc = jnp.where(a_is_ref, pos_b, pos_a)
+    R_inc = jnp.where(a_is_ref, Rb, Ra)
+    n_out = jnp.where(a_is_ref, n, -n)               # ref -> incident
+    t_ref = _perp(n_out)
+    # incident face: the face of the incident box whose outward normal is
+    # most anti-parallel to the reference normal
+    cand_n = jnp.stack([R_inc[:, 0], -R_inc[:, 0],
+                        R_inc[:, 1], -R_inc[:, 1]])
+    face_n = cand_n[jnp.argmin(cand_n @ n_out)]
+    face_t = _perp(face_n)
+    face_c = pos_inc + face_n * half
+    # clip the incident segment p(s) = face_c + s*half*face_t, s in [-1,1],
+    # to the reference face's side slab |t_ref . (p - pos_ref)| <= half
+    c0 = jnp.dot(t_ref, face_c - pos_ref)
+    dc = half * jnp.dot(t_ref, face_t)
+    par = jnp.abs(dc) < 1e-9                         # faces ~parallel in t
+    denom = jnp.where(par, jnp.where(dc < 0, -1e-9, 1e-9), dc)
+    s1 = (-half - c0) / denom
+    s2 = (half - c0) / denom
+    s_lo = jnp.maximum(jnp.minimum(s1, s2), -1.0)
+    s_hi = jnp.minimum(jnp.maximum(s1, s2), 1.0)
+    inside_par = jnp.abs(c0) <= half
+    s_lo = jnp.where(par, jnp.where(inside_par, -1.0, 1.0), s_lo)
+    s_hi = jnp.where(par, jnp.where(inside_par, 1.0, -1.0), s_hi)
+    svals = jnp.stack([s_lo, s_hi])
+    pts = face_c[None, :] + svals[:, None] * (half * face_t)[None, :]
+    pen = half - (pts - pos_ref[None, :]) @ n_out
+    live = overlap & (s_lo <= s_hi) & (pen > 0)
+    return pen, n, pts, live
+
+
 def _push_block(block_pos, block_yaw, point, radius, k2=None, de=None,
                 mu=None):
     """Quasi-static point-push of an oriented box — Mason/Lynch pushing
@@ -549,44 +614,76 @@ def _solve_contact_velocities(bpos, byaw, bvel, byr, eff, v_push, inv_i):
         forces = forces.at[b].add(f)
         torques = torques.at[b].add(_cross2(r, fn_tq * n + ft * t))
 
-    # block-block contact: symmetric box-vs-disk pair (round 5). The
-    # round-4 disk-disk law was center-aligned and RESTORING — the normal
-    # always pointed center-to-center, so a pushed two-block train was
-    # PERFECTLY stable and stalled against doubled ground friction where
-    # MuJoCo's train wedges apart (its box-box contact reports the FACE
-    # normal of the touched box: once the pusher-side block rotates even
-    # slightly, its face normal deflects the far block sideways, the
-    # offset grows the deflection — positive feedback — and the far block
-    # escapes, letting the pushed block carry on at single-block
-    # resistance). Each ordering (i box, j disk) contributes half; the
-    # disk radius keeps the face-on contact distance of the calibrated
+    # block-block contact. The round-4 disk-disk law was center-aligned
+    # and RESTORING — the normal always pointed center-to-center, so a
+    # pushed two-block train was PERFECTLY stable and stalled against
+    # doubled ground friction where MuJoCo's train wedges apart (its
+    # box-box contact reports the FACE normal of the touched box: once
+    # the pusher-side block rotates even slightly, its face normal
+    # deflects the far block sideways, the offset grows the deflection —
+    # positive feedback — and the far block escapes, letting the pushed
+    # block carry on at single-block resistance). Round 5 first replaced
+    # it with a symmetric box-vs-disk pair (face normals, the escape
+    # feedback above), then upgraded to the full 2-point box-box manifold
+    # (BB_BOX_BOX): the single-point pair could not resist relative yaw,
+    # shedding with 2.4x MuJoCo's spin dispersion. The effective
+    # half-extent keeps the calibrated face-on contact distance of the
     # disk-disk law (2 * BLOCK_BLOCK_RADIUS).
-    r_bb = 2 * BLOCK_BLOCK_RADIUS - BLOCK_HALF
-    for i, j in ((0, 1), (1, 0)):
-        pen_bb, n_l, c_l, R_i = _box_point_geom(bpos[i], byaw[i], bpos[j],
-                                                r_bb)
-        live_bb = pen_bb > 0
+    if BB_BOX_BOX:
+        h_eff = BLOCK_BLOCK_RADIUS            # = BLOCK_HALF + margin
+        pen_bb, n, pts, live = _box_box_manifold(bpos[0], byaw[0],
+                                                 bpos[1], byaw[1], h_eff)
         if BB_DITHER_ANG > 0.0:
-            h_bb = _hash_noise(bpos[i], byaw[i] - byaw[j], bpos[j])
-            n_l = _rot(jnp.where(live_bb, BB_DITHER_ANG, 0.0)
-                       * h_bb[2]) @ n_l
-        n = R_i @ n_l                      # direction block i separates
-        r_i = R_i @ c_l                    # contact arm on i (world)
-        r_j = bpos[i] + r_i - bpos[j]      # contact arm on j (world)
-        u = ((bvel[i] + byr[i] * _perp(r_i))
-             - (bvel[j] + byr[j] * _perp(r_j)))
-        closing_bb = -jnp.dot(n, u)
-        spring_bb = CONTACT_K * pen_bb
-        damper_bb = jnp.minimum(CONTACT_B * closing_bb,
-                                DAMP_RATIO * spring_bb)
-        fn_bb = jnp.where(live_bb,
-                          0.5 * jnp.maximum(spring_bb + damper_bb, 0.0), 0.0)
-        t = _perp(n)
-        ft_bb = -CONTACT_MU * fn_bb * jnp.tanh(jnp.dot(t, u) / V_EPS)
-        f = fn_bb * n + ft_bb * t
-        forces = forces.at[i].add(f).at[j].add(-f)
-        torques = (torques.at[i].add(_cross2(r_i, f))
-                   .at[j].add(_cross2(r_j, -f)))
+            h_bb = _hash_noise(bpos[0], byaw[0] - byaw[1], bpos[1])
+            n = _rot(jnp.where(jnp.any(live), BB_DITHER_ANG, 0.0)
+                     * h_bb[2]) @ n
+        n_a = -n                              # direction block 0 separates
+        t = _perp(n_a)
+        for p in range(2):
+            r_i = pts[p] - bpos[0]            # arm on block 0 (world)
+            r_j = pts[p] - bpos[1]            # arm on block 1 (world)
+            u = ((bvel[0] + byr[0] * _perp(r_i))
+                 - (bvel[1] + byr[1] * _perp(r_j)))
+            closing_bb = -jnp.dot(n_a, u)
+            spring_bb = CONTACT_K * pen_bb[p]
+            damper_bb = jnp.minimum(CONTACT_B * closing_bb,
+                                    DAMP_RATIO * spring_bb)
+            fn_bb = jnp.where(live[p],
+                              0.5 * jnp.maximum(spring_bb + damper_bb, 0.0),
+                              0.0)
+            ft_bb = -CONTACT_MU * fn_bb * jnp.tanh(jnp.dot(t, u) / V_EPS)
+            f = fn_bb * n_a + ft_bb * t
+            forces = forces.at[0].add(f).at[1].add(-f)
+            torques = (torques.at[0].add(_cross2(r_i, f))
+                       .at[1].add(_cross2(r_j, -f)))
+    else:
+        r_bb = 2 * BLOCK_BLOCK_RADIUS - BLOCK_HALF
+        for i, j in ((0, 1), (1, 0)):
+            pen_bb, n_l, c_l, R_i = _box_point_geom(bpos[i], byaw[i],
+                                                    bpos[j], r_bb)
+            live_bb = pen_bb > 0
+            if BB_DITHER_ANG > 0.0:
+                h_bb = _hash_noise(bpos[i], byaw[i] - byaw[j], bpos[j])
+                n_l = _rot(jnp.where(live_bb, BB_DITHER_ANG, 0.0)
+                           * h_bb[2]) @ n_l
+            n = R_i @ n_l                  # direction block i separates
+            r_i = R_i @ c_l                # contact arm on i (world)
+            r_j = bpos[i] + r_i - bpos[j]  # contact arm on j (world)
+            u = ((bvel[i] + byr[i] * _perp(r_i))
+                 - (bvel[j] + byr[j] * _perp(r_j)))
+            closing_bb = -jnp.dot(n, u)
+            spring_bb = CONTACT_K * pen_bb
+            damper_bb = jnp.minimum(CONTACT_B * closing_bb,
+                                    DAMP_RATIO * spring_bb)
+            fn_bb = jnp.where(live_bb,
+                              0.5 * jnp.maximum(spring_bb + damper_bb, 0.0),
+                              0.0)
+            t = _perp(n)
+            ft_bb = -CONTACT_MU * fn_bb * jnp.tanh(jnp.dot(t, u) / V_EPS)
+            f = fn_bb * n + ft_bb * t
+            forces = forces.at[i].add(f).at[j].add(-f)
+            torques = (torques.at[i].add(_cross2(r_i, f))
+                       .at[j].add(_cross2(r_j, -f)))
 
     bvel = bvel + forces * (SUB_DT * inv_m)
     byr = byr + torques * (SUB_DT * inv_i)

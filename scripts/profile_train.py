@@ -37,7 +37,7 @@ import jax.numpy as jnp
 PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0}
 
 
-def _setup(batch, chunk):
+def _setup(batch, chunk, mu_bf16=False):
     import optax
 
     from beso_tpu.core.densities import make_sample_density
@@ -54,7 +54,9 @@ def _setup(batch, chunk):
     scaler = fit_scaler(data.all_observations(), data.all_actions())
     train_set = SlicedDataset(data, window=4, future_conditional=True,
                               future_seq_len=2)
-    optimizer = optax.adamw(1e-4)
+    # mu_bf16: first-moment state in bf16 — attacks the ~20% f32
+    # optimizer-update term the device trace names (see module docstring)
+    optimizer = optax.adamw(1e-4, mu_dtype=jnp.bfloat16 if mu_bf16 else None)
     density = make_sample_density("loglogistic", sigma_data=0.5,
                                   sigma_min=0.005, sigma_max=1.0)
     trainer = Trainer(den, optimizer, density, scaler)
@@ -102,7 +104,7 @@ def profile(trace_dir):
                       f"n={catn[k]:6d}  {k}")
 
 
-def scaling(configs):
+def scaling(configs, mu_bf16=False):
     from beso_tpu.train.trainer import make_train_step
 
     dev = jax.devices()[0]
@@ -110,7 +112,7 @@ def scaling(configs):
     rows = []
     for batch, chunk in configs:
         den, optimizer, density, scaler, train_set, ts, fused = _setup(
-            batch, chunk)
+            batch, chunk, mu_bf16=mu_bf16)
         t0 = time.time()
         ts, _ = jax.block_until_ready(fused(ts, jax.random.PRNGKey(1)))
         compile_s = time.time() - t0
@@ -144,11 +146,21 @@ def scaling(configs):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--mu-bf16", action="store_true",
+                        help="first-moment optimizer state in bf16")
+    parser.add_argument("--configs", default=None,
+                        help="comma-separated batch:chunk pairs, e.g. "
+                             "1024:200,2048:50")
     parser.add_argument("--trace-dir", default="/tmp/beso_train_trace")
     args = parser.parse_args(argv)
     if args.scaling:
-        scaling([(1024, 50), (1024, 200), (2048, 50), (4096, 50),
-                 (8192, 25)])
+        if args.configs:
+            cfgs = [tuple(int(x) for x in c.split(":"))
+                    for c in args.configs.split(",")]
+        else:
+            cfgs = [(1024, 50), (1024, 200), (2048, 50), (4096, 50),
+                    (8192, 25)]
+        scaling(cfgs, mu_bf16=args.mu_bf16)
     else:
         profile(args.trace_dir)
 
