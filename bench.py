@@ -31,7 +31,7 @@ line stays FIRST for driver compatibility):
    "mfu", "mfu_effective", "dp_efficiency"}
 2. block-push rollout     (same schema; vs the same ~100 env-steps/s
    reference bound — the reference's push loop is Bullet-on-CPU serial)
-3. kitchen train-step throughput (steps/s, batch 1024, fused 50-step
+3. kitchen train-step throughput (steps/s, batch 1024, fused 200-step
    device programs; vs_baseline normalizes to the reference's ~15 steps/s
    single-GPU torch loop estimate from BASELINE.md row "Training budget")
 """
